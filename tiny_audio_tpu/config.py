@@ -1,0 +1,233 @@
+"""Configuration for the TPU-native ASR stack.
+
+Re-designed equivalent of the reference's ``ASRConfig``
+(``/root/reference/tiny_audio/asr_config.py:22-220``): a plain dataclass with the
+same field names and JSON serialization contract (``config.json`` in a checkpoint
+directory), minus the HF ``PretrainedConfig`` machinery.  Tower architectures are
+described by explicit ``EncoderConfig`` / ``DecoderConfig`` dataclasses instead of
+HF Hub ``AutoConfig`` downloads, so a checkpoint is fully self-describing and the
+model can be built offline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional, Sequence, Union
+
+# Default conv layers for Whisper/GLM-ASR-style audio encoders:
+# [(padding, kernel, stride), ...]  (reference: asr_config.py:6)
+DEFAULT_ENCODER_CONV_LAYERS = [(1, 3, 1), (1, 3, 2)]
+
+
+def compute_encoder_output_length(mel_length, conv_layers=None):
+    """Apply encoder conv-layer formulas to compute output length.
+
+    Works with Python ints and integer jnp/np arrays; the per-layer formula
+    ``(L + 2*p - (k-1) - 1) // s + 1`` is identical for both.
+    (reference: asr_config.py:9-19)
+    """
+    layers = conv_layers if conv_layers is not None else DEFAULT_ENCODER_CONV_LAYERS
+    length = mel_length
+    for padding, kernel_size, stride in layers:
+        length = (length + 2 * padding - (kernel_size - 1) - 1) // stride + 1
+    return length
+
+
+@dataclass
+class EncoderConfig:
+    """Whisper/GLM-ASR-style audio encoder architecture.
+
+    Conv subsampling stack (from ``conv_layers``) followed by a pre-LN
+    transformer with sinusoidal positions.  ``GLM-ASR-Nano``-class defaults
+    (~600M params, 128 mel bins) — the reference loads this tower from the HF
+    Hub (asr_modeling.py:203-237); here it is an explicit architecture.
+    """
+
+    num_mel_bins: int = 128
+    d_model: int = 1280
+    num_layers: int = 32
+    num_heads: int = 20
+    ffn_dim: int = 5120
+    max_source_positions: int = 1500  # post-conv frames for 30 s of audio
+    conv_layers: list = field(default_factory=lambda: list(DEFAULT_ENCODER_CONV_LAYERS))
+    activation: str = "gelu"
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+
+@dataclass
+class DecoderConfig:
+    """Qwen3-style causal LM architecture (GQA + QK-norm + RoPE + SwiGLU).
+
+    Defaults match Qwen3-0.6B, the reference's frozen text tower
+    (asr_config.py:39, asr_modeling.py:239-254).
+    """
+
+    vocab_size: int = 151936
+    hidden_size: int = 1024
+    num_layers: int = 28
+    num_heads: int = 16
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    intermediate_size: int = 3072
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = True
+    max_position_embeddings: int = 40960
+
+
+@dataclass
+class ASRConfig:
+    """Composite configuration: encoder + decoder + projector + generation.
+
+    Field names mirror the reference ``ASRConfig`` (asr_config.py:36-169) so
+    configs translate 1:1; tower ids are kept for provenance but the tower
+    architectures are explicit dataclasses.
+    """
+
+    # Tower provenance (HF ids kept for weight conversion / parity bookkeeping)
+    audio_model_id: str = "zai-org/GLM-ASR-Nano-2512"
+    text_model_id: str = "Qwen/Qwen3-0.6B"
+    model_dtype: str = "bfloat16"
+    system_prompt: str = "You are a helpful assistant."
+
+    # Tower architectures
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+
+    # Dimensions (auto-filled from towers when None, asr_modeling.py:256-274)
+    encoder_dim: Optional[int] = None
+    llm_dim: Optional[int] = None
+    encoder_conv_layers: list = field(
+        default_factory=lambda: list(DEFAULT_ENCODER_CONV_LAYERS)
+    )
+    audio_sample_rate: int = 16000
+
+    # Projector
+    projector_type: str = "mlp"  # "mlp" | "mosa" | "moe" | "qformer"
+    projector_pool_stride: int = 4
+    downsample_rate: int = 5  # Granite default (qformer)
+    projector_hidden_dim: Optional[int] = None
+    audio_token_dropout: float = 0.0
+
+    # MoE projector
+    num_experts: int = 4
+    num_experts_per_tok: int = 2
+    router_aux_loss_coef: float = 0.01
+    router_z_loss_coef: float = 1e-4
+    router_jitter_noise: float = 0.01
+
+    # QFormer projector (Granite defaults)
+    qformer_window_size: int = 15
+    qformer_hidden_size: Optional[int] = None
+    qformer_num_layers: int = 2
+    qformer_num_heads: int = 16
+    qformer_intermediate_size: Optional[int] = None
+
+    # LoRA (stage-2 fine-tuning)
+    use_lora: bool = False
+    lora_rank: int = 8
+    lora_alpha: int = 32
+    lora_dropout: float = 0.0
+    lora_target_modules: list = field(
+        default_factory=lambda: [
+            "q_proj",
+            "k_proj",
+            "v_proj",
+            "o_proj",
+            "gate_proj",
+            "up_proj",
+            "down_proj",
+        ]
+    )
+    freeze_projector: bool = False
+    freeze_language_model: bool = True
+
+    # Generation defaults: greedy decoding (asr_config.py:100-111)
+    num_beams: int = 1
+    max_new_tokens: int = 128
+    min_new_tokens: int = 0
+    repetition_penalty: float = 1.0
+    length_penalty: float = 1.0
+    no_repeat_ngram_size: int = 0
+    use_cache: bool = True
+    do_sample: bool = False
+    temperature: Optional[float] = None
+    top_p: Optional[float] = None
+    top_k: Optional[int] = None
+
+    def __post_init__(self):
+        if isinstance(self.encoder, dict):
+            self.encoder = EncoderConfig(**self.encoder)
+        if isinstance(self.decoder, dict):
+            self.decoder = DecoderConfig(**self.decoder)
+        self.encoder_conv_layers = [tuple(t) for t in self.encoder_conv_layers]
+        self.encoder.conv_layers = [tuple(t) for t in self.encoder.conv_layers]
+        if self.encoder_dim is None:
+            self.encoder_dim = self.encoder.d_model
+        if self.llm_dim is None:
+            self.llm_dim = self.decoder.hidden_size
+
+    # -- serialization (config.json contract, asr_modeling.py:769-794) --------
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["model_type"] = "asr_model"
+        return d
+
+    def to_json_string(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    def save_pretrained(self, save_directory: Union[str, Path]) -> None:
+        save_dir = Path(save_directory)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        (save_dir / "config.json").write_text(self.to_json_string())
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ASRConfig":
+        d = dict(d)
+        d.pop("model_type", None)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @classmethod
+    def from_pretrained(cls, path: Union[str, Path]) -> "ASRConfig":
+        p = Path(path)
+        if p.is_dir():
+            p = p / "config.json"
+        return cls.from_dict(json.loads(p.read_text()))
+
+
+def tiny_test_config(**overrides: Any) -> ASRConfig:
+    """Small random-weight config for CPU tests (the reference uses
+    whisper-tiny + SmolLM2-135M the same way, tests/conftest.py:148-193)."""
+    cfg = ASRConfig(
+        encoder=EncoderConfig(
+            num_mel_bins=80,
+            d_model=64,
+            num_layers=2,
+            num_heads=4,
+            ffn_dim=128,
+            max_source_positions=256,
+        ),
+        decoder=DecoderConfig(
+            vocab_size=512,
+            hidden_size=64,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=16,
+            intermediate_size=128,
+            max_position_embeddings=1024,
+        ),
+    )
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    cfg.__post_init__()
+    return cfg
