@@ -1,0 +1,226 @@
+"""Qwen3-style causal language model in flax.linen, TPU-first.
+
+Re-designed equivalent of the reference's frozen text tower
+(``AutoModelForCausalLM`` Qwen3-0.6B, ``/root/reference/tiny_audio/asr_modeling.py:239-254``)
+as an explicit architecture: GQA + per-head QK RMSNorm + RoPE (NeoX layout)
++ SwiGLU + pre-LN RMSNorm, optionally tied embeddings.
+
+TPU design choices:
+- ``nn.scan`` over layers: one compiled block instead of 28, cutting compile
+  time and letting XLA pipeline the layer loop.
+- Static-shape KV cache ``[L, B, max_len, Hkv, D]`` updated with
+  ``dynamic_update_slice``; decode step is a single fused graph.
+- bf16 params/compute with fp32 softmax/norm statistics.
+
+Weight conversion from HF Qwen3 checkpoints: :func:`convert_hf_qwen3`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tiny_audio_tpu.config import DecoderConfig
+from tiny_audio_tpu.models.layers import (
+    MASK_VALUE,
+    RMSNorm,
+    apply_rotary,
+    attention,
+    rms_norm,
+    rotary_embed,
+)
+
+
+def make_causal_mask(attention_mask: jax.Array) -> jax.Array:
+    """[B, T] padding mask -> [B, 1, T, T] causal+padding boolean mask."""
+    t = attention_mask.shape[-1]
+    causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+    pad = attention_mask.astype(bool)[:, None, None, :]
+    return causal[None, None, :, :] & pad
+
+
+class Qwen3Block(nn.Module):
+    cfg: DecoderConfig
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, layer_cache, cos, sin, attn_mask, cache_index):
+        """One transformer block.
+
+        x: [B, T, H] hidden states.  layer_cache: None or (k, v) each
+        [B, S, Hkv, D].  Returns (x_out, new_layer_cache).
+        """
+        cfg = self.cfg
+        b, t, _ = x.shape
+        hd = cfg.head_dim
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats, use_bias=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name,
+        )
+
+        residual = x
+        x = RMSNorm(cfg.rms_norm_eps, jnp.float32, name="input_layernorm")(x)
+
+        q = dense(cfg.num_heads * hd, "q_proj")(x).reshape(b, t, cfg.num_heads, hd)
+        k = dense(cfg.num_kv_heads * hd, "k_proj")(x).reshape(b, t, cfg.num_kv_heads, hd)
+        v = dense(cfg.num_kv_heads * hd, "v_proj")(x).reshape(b, t, cfg.num_kv_heads, hd)
+
+        # Per-head QK RMSNorm (Qwen3 signature feature), then RoPE
+        q_norm_w = self.param("q_norm", nn.initializers.ones, (hd,), jnp.float32)
+        k_norm_w = self.param("k_norm", nn.initializers.ones, (hd,), jnp.float32)
+        q = rms_norm(q, q_norm_w, cfg.rms_norm_eps)
+        k = rms_norm(k, k_norm_w, cfg.rms_norm_eps)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+
+        if layer_cache is not None:
+            cache_k, cache_v = layer_cache
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
+            )
+            new_cache = (cache_k, cache_v)
+            k_att, v_att = cache_k, cache_v
+        else:
+            new_cache = None
+            k_att, v_att = k, v
+
+        out = attention(q, k_att, v_att, mask=attn_mask)
+        x = dense(cfg.hidden_size, "o_proj")(out.reshape(b, t, -1))
+        x = residual + x
+
+        residual = x
+        x = RMSNorm(cfg.rms_norm_eps, jnp.float32, name="post_attention_layernorm")(x)
+        gate = dense(cfg.intermediate_size, "gate_proj")(x)
+        up = dense(cfg.intermediate_size, "up_proj")(x)
+        x = dense(cfg.hidden_size, "down_proj")(jax.nn.silu(gate) * up)
+        return residual + x, new_cache
+
+
+class Qwen3Decoder(nn.Module):
+    """Causal LM.  Call modes:
+
+    - full forward (training / no cache): ``cache=None`` -> (logits, None)
+    - prefill: pass zero-initialized cache, ``cache_index=0`` -> cache filled
+    - decode: T==1, ``cache_index=<current len>``
+    """
+
+    cfg: DecoderConfig
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="embed_tokens",
+        )
+        block = nn.scan(
+            Qwen3Block,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            out_axes=0,
+            length=cfg.num_layers,
+        )
+        self.layers = block(cfg, self.dtype, self.param_dtype, name="layers")
+        self.norm = RMSNorm(cfg.rms_norm_eps, jnp.float32, name="norm")
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                cfg.vocab_size,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="lm_head",
+            )
+
+    def embed(self, input_ids: jax.Array) -> jax.Array:
+        return self.embed_tokens(input_ids)
+
+    def __call__(
+        self,
+        inputs_embeds: jax.Array,
+        positions: jax.Array,
+        attn_mask: Optional[jax.Array] = None,
+        cache: Optional[dict] = None,
+        cache_index: int | jax.Array = 0,
+        return_hidden: bool = False,
+    ):
+        cfg = self.cfg
+        cos, sin = rotary_embed(positions, cfg.head_dim, cfg.rope_theta)
+        x = inputs_embeds.astype(self.dtype)
+
+        layer_cache = None if cache is None else (cache["k"], cache["v"])
+        x, new_layer_cache = self.layers(x, layer_cache, cos, sin, attn_mask, cache_index)
+        x = self.norm(x)
+        if return_hidden:
+            logits = None
+        elif cfg.tie_word_embeddings:
+            logits = self.embed_tokens.attend(x)
+        else:
+            logits = self.lm_head(x)
+
+        new_cache = None
+        if cache is not None:
+            new_cache = {"k": new_layer_cache[0], "v": new_layer_cache[1]}
+        return (logits if logits is not None else x), new_cache
+
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
+        cfg = self.cfg
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+# ---------------------------------------------------------------------------
+# HF weight conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_qwen3(state_dict: dict, cfg: DecoderConfig, dtype=jnp.bfloat16) -> dict:
+    """Convert an HF Qwen3ForCausalLM state_dict (torch or numpy tensors) to
+    this module's parameter pytree (layers stacked for ``nn.scan``)."""
+
+    def t(name, transpose=False, cast=None):
+        w = state_dict[name]
+        w = np.asarray(w.detach().cpu().float().numpy() if hasattr(w, "detach") else w)
+        if transpose:
+            w = w.T
+        return jnp.asarray(w, dtype=cast or dtype)
+
+    def stack(fmt, transpose=False, cast=None):
+        return jnp.stack([t(fmt.format(i), transpose, cast) for i in range(cfg.num_layers)])
+
+    p = "model."
+    layers = {
+        "input_layernorm": {"weight": stack(p + "layers.{}.input_layernorm.weight", cast=jnp.float32)},
+        "post_attention_layernorm": {
+            "weight": stack(p + "layers.{}.post_attention_layernorm.weight", cast=jnp.float32)
+        },
+        "q_proj": {"kernel": stack(p + "layers.{}.self_attn.q_proj.weight", transpose=True)},
+        "k_proj": {"kernel": stack(p + "layers.{}.self_attn.k_proj.weight", transpose=True)},
+        "v_proj": {"kernel": stack(p + "layers.{}.self_attn.v_proj.weight", transpose=True)},
+        "o_proj": {"kernel": stack(p + "layers.{}.self_attn.o_proj.weight", transpose=True)},
+        "q_norm": stack(p + "layers.{}.self_attn.q_norm.weight", cast=jnp.float32),
+        "k_norm": stack(p + "layers.{}.self_attn.k_norm.weight", cast=jnp.float32),
+        "gate_proj": {"kernel": stack(p + "layers.{}.mlp.gate_proj.weight", transpose=True)},
+        "up_proj": {"kernel": stack(p + "layers.{}.mlp.up_proj.weight", transpose=True)},
+        "down_proj": {"kernel": stack(p + "layers.{}.mlp.down_proj.weight", transpose=True)},
+    }
+    params = {
+        "embed_tokens": {"embedding": t(p + "embed_tokens.weight")},
+        "layers": layers,
+        "norm": {"weight": t(p + "norm.weight", cast=jnp.float32)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": t("lm_head.weight", transpose=True)}
+    return params

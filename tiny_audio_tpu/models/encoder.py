@@ -1,0 +1,208 @@
+"""Whisper/GLM-ASR-style audio encoder in flax.linen, TPU-first.
+
+Re-designed equivalent of the reference's frozen audio tower
+(``/root/reference/tiny_audio/asr_modeling.py:203-237`` loads WhisperModel.encoder
+or GLM-ASR's ``audio_tower``): a conv subsampling stack built from
+``EncoderConfig.conv_layers`` (default k3/s1 + k3/s2, the
+``DEFAULT_ENCODER_CONV_LAYERS`` contract), sinusoidal positions, and a pre-LN
+transformer with biased QV projections (Whisper weight layout: k_proj has no
+bias) and a final LayerNorm.
+
+TPU design: ``nn.scan`` over layers, variable-length audio handled with a
+static padded length + frame padding mask (XLA static shapes), bf16 compute
+with fp32 LayerNorm statistics.
+
+Weight conversion from HF WhisperEncoder checkpoints: :func:`convert_hf_whisper_encoder`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tiny_audio_tpu.config import EncoderConfig, compute_encoder_output_length
+from tiny_audio_tpu.models.layers import attention, sinusoidal_positions
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        x = x.astype(jnp.float32)
+        mean = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return (x * w + b).astype(dtype)
+
+
+class EncoderBlock(nn.Module):
+    cfg: EncoderConfig
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, attn_mask):
+        cfg = self.cfg
+        b, t, _ = x.shape
+        h, hd = cfg.num_heads, cfg.head_dim
+
+        def dense(feats, name, bias=True):
+            return nn.Dense(
+                feats, use_bias=bias, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=name,
+            )
+
+        residual = x
+        x = LayerNorm(cfg.layer_norm_eps, name="self_attn_layer_norm")(x)
+        q = dense(h * hd, "q_proj")(x).reshape(b, t, h, hd)
+        k = dense(h * hd, "k_proj", bias=False)(x).reshape(b, t, h, hd)
+        v = dense(h * hd, "v_proj")(x).reshape(b, t, h, hd)
+        out = attention(q, k, v, mask=attn_mask)
+        x = dense(cfg.d_model, "out_proj")(out.reshape(b, t, -1))
+        x = residual + x
+
+        residual = x
+        x = LayerNorm(cfg.layer_norm_eps, name="final_layer_norm")(x)
+        x = dense(cfg.ffn_dim, "fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = dense(cfg.d_model, "fc2")(x)
+        return residual + x, None
+
+
+class AudioEncoder(nn.Module):
+    cfg: EncoderConfig
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        input_features: jax.Array,
+        frame_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Encode mel features.
+
+        Args:
+            input_features: [B, num_mel_bins, T_mel] log-mel features.
+            frame_mask: optional [B, T_mel] mask of real mel frames.
+
+        Returns:
+            [B, T_enc, d_model] hidden states (T_enc via the conv formula).
+        """
+        cfg = self.cfg
+        x = input_features.astype(self.dtype).transpose(0, 2, 1)  # [B, T, mel]
+
+        for i, (pad, kernel, stride) in enumerate(cfg.conv_layers):
+            x = nn.Conv(
+                cfg.d_model,
+                kernel_size=(kernel,),
+                strides=(stride,),
+                padding=[(pad, pad)],
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"conv{i + 1}",
+            )(x)
+            x = nn.gelu(x, approximate=False)
+
+        t_enc = x.shape[1]
+        pos_table = self.param(
+            "embed_positions",
+            lambda key, shape: sinusoidal_positions(*shape),
+            (cfg.max_source_positions, cfg.d_model),
+        )
+        x = x + jax.lax.dynamic_slice_in_dim(pos_table, 0, t_enc, axis=0).astype(
+            self.dtype
+        )[None]
+
+        attn_mask = None
+        if frame_mask is not None:
+            enc_lengths = compute_encoder_output_length(
+                frame_mask.sum(axis=-1), cfg.conv_layers
+            )
+            key_mask = jnp.arange(t_enc)[None, :] < enc_lengths[:, None]
+            attn_mask = key_mask  # [B, T_enc] padding mask
+
+        block = nn.scan(
+            EncoderBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast,),
+            out_axes=0,
+            length=cfg.num_layers,
+        )
+        x, _ = block(cfg, self.dtype, self.param_dtype, name="layers")(x, attn_mask)
+        return LayerNorm(cfg.layer_norm_eps, name="layer_norm")(x)
+
+
+# ---------------------------------------------------------------------------
+# HF weight conversion (WhisperEncoder naming; GLM-ASR towers share the layout)
+# ---------------------------------------------------------------------------
+
+
+def convert_hf_whisper_encoder(state_dict: dict, cfg: EncoderConfig, dtype=jnp.bfloat16) -> dict:
+    """Convert an HF WhisperEncoder state_dict to this module's params.
+
+    Accepts keys with or without an ``encoder.`` prefix (WhisperModel vs bare
+    encoder exports).
+    """
+
+    sd = {}
+    for key, w in state_dict.items():
+        key = key.removeprefix("model.").removeprefix("encoder.")
+        sd[key] = np.asarray(
+            w.detach().cpu().float().numpy() if hasattr(w, "detach") else w
+        )
+
+    def t(name, cast=None, conv=False, transpose=False):
+        w = sd[name]
+        if conv:  # torch Conv1d [out, in, k] -> flax [k, in, out]
+            w = w.transpose(2, 1, 0)
+        elif transpose:
+            w = w.T
+        return jnp.asarray(w, dtype=cast or dtype)
+
+    def stack(fmt, **kw):
+        return jnp.stack([t(fmt.format(i), **kw) for i in range(cfg.num_layers)])
+
+    layers = {}
+    for flax_name, hf_name, bias in [
+        ("q_proj", "self_attn.q_proj", True),
+        ("k_proj", "self_attn.k_proj", False),
+        ("v_proj", "self_attn.v_proj", True),
+        ("out_proj", "self_attn.out_proj", True),
+        ("fc1", "fc1", True),
+        ("fc2", "fc2", True),
+    ]:
+        entry = {"kernel": stack("layers.{}." + hf_name + ".weight", transpose=True)}
+        if bias:
+            entry["bias"] = stack("layers.{}." + hf_name + ".bias")
+        layers[flax_name] = entry
+    for flax_name, hf_name in [
+        ("self_attn_layer_norm", "self_attn_layer_norm"),
+        ("final_layer_norm", "final_layer_norm"),
+    ]:
+        layers[flax_name] = {
+            "weight": stack("layers.{}." + hf_name + ".weight", cast=jnp.float32),
+            "bias": stack("layers.{}." + hf_name + ".bias", cast=jnp.float32),
+        }
+
+    params = {"layers": layers}
+    for i in range(len(cfg.conv_layers)):
+        params[f"conv{i + 1}"] = {
+            "kernel": t(f"conv{i + 1}.weight", conv=True),
+            "bias": t(f"conv{i + 1}.bias"),
+        }
+    params["embed_positions"] = t("embed_positions.weight", cast=jnp.float32)
+    params["layer_norm"] = {
+        "weight": t("layer_norm.weight", cast=jnp.float32),
+        "bias": t("layer_norm.bias", cast=jnp.float32),
+    }
+    return params
