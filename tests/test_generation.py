@@ -1,0 +1,132 @@
+"""Generation loop vs naive full-forward oracle decode."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tiny_audio_tpu.config import DecoderConfig
+from tiny_audio_tpu.generation import GenerationConfig, generate_tokens, stream_generate
+from tiny_audio_tpu.models.decoder import Qwen3Decoder, make_causal_mask
+
+CFG = DecoderConfig(
+    vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+    num_kv_heads=2, head_dim=16, intermediate_size=128,
+    max_position_embeddings=512,
+)
+
+
+@pytest.fixture(scope="module")
+def decoder_and_params():
+    decoder = Qwen3Decoder(CFG, dtype=jnp.float32, param_dtype=jnp.float32)
+    embeds = jnp.zeros((1, 4, CFG.hidden_size))
+    variables = decoder.init(jax.random.PRNGKey(0), embeds, jnp.zeros((1, 4), jnp.int32))
+    return decoder, variables
+
+
+def naive_greedy(decoder, variables, embeds, ids, gen):
+    """Oracle: re-run the full forward for every generated token."""
+    b = embeds.shape[0]
+    out_tokens = np.full((b, gen.max_new_tokens), gen.pad_token_id, np.int32)
+    finished = np.zeros(b, bool)
+    cur_embeds = embeds
+    seen = np.zeros((b, CFG.vocab_size), bool)
+    for r in range(b):
+        seen[r, np.asarray(ids)[r]] = True
+    for step in range(gen.max_new_tokens):
+        t = cur_embeds.shape[1]
+        mask = make_causal_mask(jnp.ones((b, t), jnp.int32))
+        positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+        logits, _ = decoder.apply(variables, cur_embeds, positions, attn_mask=mask)
+        logits = np.asarray(logits[:, -1], np.float32)
+        if gen.repetition_penalty != 1.0:
+            pen = np.where(logits > 0, logits / gen.repetition_penalty,
+                           logits * gen.repetition_penalty)
+            logits = np.where(seen, pen, logits)
+        tok = logits.argmax(-1).astype(np.int32)
+        tok = np.where(finished, gen.pad_token_id, tok)
+        out_tokens[:, step] = tok
+        seen[np.arange(b), tok] = True
+        finished |= np.isin(tok, gen.eos_token_ids)
+        if finished.all():
+            break
+        tok_embeds = decoder.apply(variables, jnp.asarray(tok)[:, None],
+                                   method=Qwen3Decoder.embed)
+        cur_embeds = jnp.concatenate([cur_embeds, tok_embeds], axis=1)
+    return out_tokens
+
+
+def test_greedy_matches_naive_oracle(decoder_and_params, rng):
+    decoder, variables = decoder_and_params
+    b, t = 2, 6
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(b, t)), jnp.int32)
+    embeds = decoder.apply(variables, ids, method=Qwen3Decoder.embed)
+    gen = GenerationConfig(max_new_tokens=12, eos_token_ids=(257,), pad_token_id=0)
+
+    tokens, lengths = generate_tokens(decoder, variables, embeds, ids, gen)
+    ref = naive_greedy(decoder, variables, embeds, ids, gen)
+    np.testing.assert_array_equal(np.asarray(tokens), ref)
+    assert lengths.shape == (b,)
+
+
+def test_repetition_penalty_matches_naive(decoder_and_params, rng):
+    decoder, variables = decoder_and_params
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 5)), jnp.int32)
+    embeds = decoder.apply(variables, ids, method=Qwen3Decoder.embed)
+    gen = GenerationConfig(
+        max_new_tokens=10, eos_token_ids=(257,), pad_token_id=0,
+        repetition_penalty=1.5,
+    )
+    tokens, _ = generate_tokens(decoder, variables, embeds, ids, gen)
+    ref = naive_greedy(decoder, variables, embeds, ids, gen)
+    np.testing.assert_array_equal(np.asarray(tokens), ref)
+
+    # and the penalty must change the trajectory vs no penalty at this length
+    gen_nopen = dataclasses.replace(gen, repetition_penalty=1.0)
+    tokens_nopen, _ = generate_tokens(decoder, variables, embeds, ids, gen_nopen)
+    assert not np.array_equal(np.asarray(tokens), np.asarray(tokens_nopen))
+
+
+def test_streaming_matches_batch(decoder_and_params, rng):
+    decoder, variables = decoder_and_params
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 5)), jnp.int32)
+    embeds = decoder.apply(variables, ids, method=Qwen3Decoder.embed)
+    gen = GenerationConfig(max_new_tokens=8, eos_token_ids=(257,), pad_token_id=0)
+
+    batch_tokens, batch_len = generate_tokens(decoder, variables, embeds, ids, gen)
+    streamed = list(stream_generate(decoder, variables, embeds, ids, gen))
+    expected = [int(t) for t in np.asarray(batch_tokens)[0] if t != 0][: len(streamed) + 1]
+    # streaming stops *before* yielding EOS; batch records EOS in the buffer
+    non_eos = [t for t in expected if t not in gen.eos_token_ids]
+    assert streamed == non_eos
+
+
+def test_min_new_tokens_blocks_eos(decoder_and_params, rng):
+    decoder, variables = decoder_and_params
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 4)), jnp.int32)
+    embeds = decoder.apply(variables, ids, method=Qwen3Decoder.embed)
+    # pick the unconditional-first-token as "eos" so it would fire immediately
+    gen0 = GenerationConfig(max_new_tokens=6, eos_token_ids=(), pad_token_id=0)
+    first = int(np.asarray(generate_tokens(decoder, variables, embeds, ids, gen0)[0])[0, 0])
+
+    gen = GenerationConfig(
+        max_new_tokens=6, min_new_tokens=3, eos_token_ids=(first,), pad_token_id=0
+    )
+    tokens, _ = generate_tokens(decoder, variables, embeds, ids, gen)
+    assert int(np.asarray(tokens)[0, 0]) != first  # eos suppressed at step 0
+
+
+def test_sampling_reproducible(decoder_and_params, rng):
+    decoder, variables = decoder_and_params
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 4)), jnp.int32)
+    embeds = decoder.apply(variables, ids, method=Qwen3Decoder.embed)
+    gen = GenerationConfig(
+        max_new_tokens=8, eos_token_ids=(), pad_token_id=0,
+        do_sample=True, temperature=0.9, top_k=50, top_p=0.95,
+    )
+    key = jax.random.PRNGKey(42)
+    a, _ = generate_tokens(decoder, variables, embeds, ids, gen, rng=key)
+    b, _ = generate_tokens(decoder, variables, embeds, ids, gen, rng=key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

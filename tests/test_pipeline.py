@@ -1,0 +1,125 @@
+"""Pipeline post-processing contracts + end-to-end tiny run.
+
+Repetition-truncation cases mirror the reference behavior
+(/root/reference/tests/test_truncate_repetitions.py semantics).
+"""
+
+import numpy as np
+import pytest
+
+from tiny_audio_tpu.pipeline import ASRPipeline, _strip_think, truncate_repetitions
+from tiny_audio_tpu.utils.audio_io import read_wav, resample, write_wav
+
+
+class TestTruncateRepetitions:
+    def test_repeated_characters(self):
+        assert truncate_repetitions("444444") == "4"
+        assert truncate_repetitions("hello worldddd") == "hello world"
+        assert truncate_repetitions("testttt") == "test"
+
+    def test_repeated_words(self):
+        assert truncate_repetitions("the the the the") == "the"
+        assert truncate_repetitions("hello world world world world") == "hello world"
+
+    def test_repeated_phrases(self):
+        assert truncate_repetitions("i am sorry i am sorry i am sorry") == "i am sorry"
+        assert (
+            truncate_repetitions("hello there i am sorry i am sorry i am sorry")
+            == "hello there i am sorry"
+        )
+
+    def test_long_repeated_phrases(self):
+        phrase = "i am sorry but i cannot speak for the other members of the council"
+        assert truncate_repetitions(" ".join([phrase] * 5)) == phrase
+
+    def test_no_repetition(self):
+        assert truncate_repetitions("this is fine") == "this is fine"
+        assert truncate_repetitions("hello world") == "hello world"
+
+    def test_edge_cases(self):
+        assert truncate_repetitions("") == ""
+        assert truncate_repetitions("single") == "single"
+        assert truncate_repetitions("two words") == "two words"
+
+    def test_min_repeats_threshold(self):
+        assert truncate_repetitions("word word") == "word word"
+        assert truncate_repetitions("word word word") == "word"
+
+
+def test_strip_think():
+    assert _strip_think("<think>reasoning</think> hello") == "hello"
+    assert _strip_think("no tags here") == "no tags here"
+    assert _strip_think("<think>multi\nline</think>x") == "x"
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    audio = np.clip((rng.standard_normal(16000) * 0.3), -0.99, 0.99).astype(np.float32)
+    path = tmp_path / "t.wav"
+    write_wav(path, audio, 16000)
+    loaded, rate = read_wav(path)
+    assert rate == 16000
+    np.testing.assert_allclose(loaded, audio, atol=1e-3)
+
+
+def test_resample():
+    t = np.arange(8000) / 8000.0
+    tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out = resample(tone, 8000, 16000)
+    assert abs(len(out) - 16000) <= 1
+
+
+def test_extract_audio_formats(tmp_path, rng):
+    audio = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+    path = tmp_path / "t.wav"
+    write_wav(path, audio, 16000)
+
+    for inp in [
+        str(path),
+        path.read_bytes(),
+        audio,
+        {"array": audio, "sampling_rate": 16000},
+        {"raw": audio, "sampling_rate": 16000},
+    ]:
+        out = ASRPipeline.extract_audio(inp)
+        assert out["sampling_rate"] == 16000
+        assert np.abs(out["array"]).max() > 0
+
+    # 8 kHz input gets resampled
+    out = ASRPipeline.extract_audio({"array": audio[:8000], "sampling_rate": 8000})
+    assert abs(len(out["array"]) - 16000) <= 1
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    from tiny_audio_tpu.config import tiny_test_config
+    from tiny_audio_tpu.models.asr import ASRModel
+    from tiny_audio_tpu.processing import ASRProcessor
+
+    cfg = tiny_test_config()
+    cfg.model_dtype = "float32"
+    cfg.max_new_tokens = 8
+    model = ASRModel(cfg, seed=0)
+    proc = ASRProcessor(
+        model.tokenizer, projector=model.projector,
+        num_mel_bins=cfg.encoder.num_mel_bins, mel_buckets=(100,),
+    )
+    return ASRPipeline(model, proc)
+
+
+def test_pipeline_end_to_end(tiny_pipeline, tmp_path, rng):
+    audio = (rng.standard_normal(12000) * 0.1).astype(np.float32)
+    path = tmp_path / "utt.wav"
+    write_wav(path, audio, 16000)
+    out = tiny_pipeline(str(path))
+    assert "text" in out
+    assert isinstance(out["text"], str)
+    # deterministic across calls
+    out2 = tiny_pipeline(str(path))
+    assert out["text"] == out2["text"]
+
+
+def test_pipeline_custom_prompt(tiny_pipeline, rng):
+    audio = (rng.standard_normal(12000) * 0.1).astype(np.float32)
+    out = tiny_pipeline({"array": audio, "sampling_rate": 16000},
+                        user_prompt="Describe the audio")
+    assert "text" in out

@@ -36,7 +36,7 @@ def compute_encoder_output_length(mel_length, conv_layers=None):
     return length
 
 
-@dataclass
+@dataclass(frozen=True)
 class EncoderConfig:
     """Whisper/GLM-ASR-style audio encoder architecture.
 
@@ -44,6 +44,9 @@ class EncoderConfig:
     transformer with sinusoidal positions.  ``GLM-ASR-Nano``-class defaults
     (~600M params, 128 mel bins) — the reference loads this tower from the HF
     Hub (asr_modeling.py:203-237); here it is an explicit architecture.
+
+    Frozen + tuple fields: hashable, so modules built from it can be jit
+    static arguments.
     """
 
     num_mel_bins: int = 128
@@ -52,16 +55,23 @@ class EncoderConfig:
     num_heads: int = 20
     ffn_dim: int = 5120
     max_source_positions: int = 1500  # post-conv frames for 30 s of audio
-    conv_layers: list = field(default_factory=lambda: list(DEFAULT_ENCODER_CONV_LAYERS))
+    conv_layers: tuple = tuple(
+        tuple(t) for t in DEFAULT_ENCODER_CONV_LAYERS
+    )
     activation: str = "gelu"
     layer_norm_eps: float = 1e-5
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "conv_layers", tuple(tuple(t) for t in self.conv_layers)
+        )
 
     @property
     def head_dim(self) -> int:
         return self.d_model // self.num_heads
 
 
-@dataclass
+@dataclass(frozen=True)
 class DecoderConfig:
     """Qwen3-style causal LM architecture (GQA + QK-norm + RoPE + SwiGLU).
 
@@ -168,7 +178,6 @@ class ASRConfig:
         if isinstance(self.decoder, dict):
             self.decoder = DecoderConfig(**self.decoder)
         self.encoder_conv_layers = [tuple(t) for t in self.encoder_conv_layers]
-        self.encoder.conv_layers = [tuple(t) for t in self.encoder.conv_layers]
         if self.encoder_dim is None:
             self.encoder_dim = self.encoder.d_model
         if self.llm_dim is None:

@@ -1,0 +1,304 @@
+"""KV-cached autoregressive generation as fused XLA loops.
+
+Re-designed equivalent of the reference's ``language_model.generate`` hot loop
+(``/root/reference/tiny_audio/asr_modeling.py:634-640``): greedy decoding with
+EOS-set stopping, repetition penalty over the full seen-token set, and
+min/max new-token bounds — implemented as a ``lax.while_loop`` over a
+static-shape KV cache so the whole decode runs on-device with zero host syncs
+until completion.  ``stream_generate`` exposes the same step as a host-visible
+generator for token-by-token streaming (reference ``generate_streaming``,
+asr_modeling.py:648-767).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass
+from typing import Any, Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tiny_audio_tpu.models.decoder import Qwen3Decoder
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    """Static generation hyperparameters (hashable: part of the jit key)."""
+
+    max_new_tokens: int = 128
+    min_new_tokens: int = 0
+    eos_token_ids: tuple[int, ...] = ()
+    pad_token_id: int = 0
+    repetition_penalty: float = 1.0
+    do_sample: bool = False
+    temperature: Optional[float] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
+
+    @classmethod
+    def from_asr_config(cls, cfg, eos_token_ids: Sequence[int], pad_token_id: int):
+        return cls(
+            max_new_tokens=cfg.max_new_tokens,
+            min_new_tokens=cfg.min_new_tokens,
+            eos_token_ids=tuple(eos_token_ids),
+            pad_token_id=pad_token_id,
+            repetition_penalty=cfg.repetition_penalty or 1.0,
+            do_sample=cfg.do_sample,
+            temperature=cfg.temperature,
+            top_k=cfg.top_k,
+            top_p=cfg.top_p,
+        )
+
+
+def _apply_repetition_penalty(logits: jax.Array, seen: jax.Array, penalty: float):
+    """HF semantics: for seen tokens, divide positive logits / multiply
+    negative logits by the penalty."""
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def _mask_eos(logits: jax.Array, eos_ids: tuple[int, ...], active: jax.Array):
+    """Set EOS logits to -inf where ``active`` (min_new_tokens enforcement)."""
+    neg = jnp.finfo(logits.dtype).min
+    for eos in eos_ids:
+        logits = logits.at[:, eos].set(jnp.where(active, neg, logits[:, eos]))
+    return logits
+
+
+def _select_token(logits: jax.Array, gen: GenerationConfig, rng: Optional[jax.Array]):
+    """Greedy argmax or (temperature, top-k, top-p) sampling."""
+    if not gen.do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    logits = logits.astype(jnp.float32)
+    if gen.temperature and gen.temperature != 1.0:
+        logits = logits / gen.temperature
+    if gen.top_k:
+        kth = jax.lax.top_k(logits, gen.top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if gen.top_p and gen.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # number of tokens needed to reach top_p mass
+        keep = jnp.sum(cum - probs < gen.top_p, axis=-1, keepdims=True)
+        threshold = jnp.take_along_axis(sorted_logits, keep - 1, axis=-1)
+        logits = jnp.where(logits < threshold, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("decoder", "gen"),
+    donate_argnames=(),
+)
+def generate_tokens(
+    decoder: Qwen3Decoder,
+    variables: Any,
+    inputs_embeds: jax.Array,
+    input_ids: jax.Array,
+    gen: GenerationConfig,
+    rng: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Prefill + fused decode loop.
+
+    Args:
+        decoder: the bound ``Qwen3Decoder`` module (static).
+        variables: decoder params.
+        inputs_embeds: [B, T, H] prompt embeddings (audio already spliced).
+        input_ids: [B, T] prompt ids (repetition-penalty bookkeeping,
+            mirrors the reference passing both ids and embeds,
+            asr_modeling.py:632-640).
+        gen: static GenerationConfig.
+        rng: PRNG key (sampling only).
+
+    Returns:
+        (tokens [B, max_new_tokens] int32 — pad_token_id after EOS,
+         lengths [B] int32 — generated length including the EOS token).
+    """
+    cfg = decoder.cfg
+    b, t, _ = inputs_embeds.shape
+    s = t + gen.max_new_tokens
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    cache = decoder.init_cache(b, s, dtype=decoder.dtype)
+
+    # ---- prefill ----
+    positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    prefill_mask = jnp.broadcast_to(
+        (jnp.arange(s)[None, :] <= jnp.arange(t)[:, None])[None, None], (b, 1, t, s)
+    )
+    logits, cache = decoder.apply(
+        variables, inputs_embeds, positions, attn_mask=prefill_mask,
+        cache=cache, cache_index=0,
+    )
+    last_logits = logits[:, -1].astype(jnp.float32)
+
+    use_penalty = gen.repetition_penalty != 1.0
+    if use_penalty:
+        seen = jnp.zeros((b, cfg.vocab_size), dtype=bool)
+        seen = seen.at[jnp.arange(b)[:, None], input_ids].set(True)
+    else:
+        seen = jnp.zeros((b, 1), dtype=bool)  # placeholder
+
+    def pick(logits_f32, step, seen, key):
+        if use_penalty:
+            logits_f32 = _apply_repetition_penalty(
+                logits_f32, seen, gen.repetition_penalty
+            )
+        if gen.min_new_tokens > 0 and gen.eos_token_ids:
+            logits_f32 = _mask_eos(
+                logits_f32, gen.eos_token_ids,
+                jnp.full((b,), True) & (step < gen.min_new_tokens),
+            )
+        return _select_token(logits_f32, gen, key)
+
+    def is_eos(tok):
+        hit = jnp.zeros_like(tok, dtype=bool)
+        for eos in gen.eos_token_ids:
+            hit |= tok == eos
+        return hit
+
+    # first generated token
+    rng, key0 = jax.random.split(rng)
+    tok0 = pick(last_logits, 0, seen, key0)
+    finished0 = is_eos(tok0)
+    tokens0 = jnp.full((b, gen.max_new_tokens), gen.pad_token_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(tok0)
+    if use_penalty:
+        seen = seen.at[jnp.arange(b), tok0].set(True)
+
+    state = {
+        "cache": cache,
+        "tokens": tokens0,
+        "cur": tok0,
+        "finished": finished0,
+        "seen": seen,
+        "step": jnp.int32(1),
+        "rng": rng,
+    }
+
+    def cond(st):
+        return (st["step"] < gen.max_new_tokens) & ~jnp.all(st["finished"])
+
+    def body(st):
+        step = st["step"]
+        pos = t + step - 1  # position of the token being fed
+        embeds = decoder.apply(
+            variables, st["cur"][:, None], method=Qwen3Decoder.embed
+        )
+        step_mask = jnp.broadcast_to(
+            (jnp.arange(s) <= pos)[None, None, None, :], (b, 1, 1, s)
+        )
+        logits, new_cache = decoder.apply(
+            variables, embeds, jnp.full((b, 1), pos, jnp.int32),
+            attn_mask=step_mask, cache=st["cache"], cache_index=pos,
+        )
+        rng, key = jax.random.split(st["rng"])
+        tok = pick(logits[:, 0].astype(jnp.float32), step, st["seen"], key)
+        # frozen rows keep emitting pad
+        tok = jnp.where(st["finished"], gen.pad_token_id, tok)
+        tokens = st["tokens"].at[:, step].set(tok)
+        finished = st["finished"] | is_eos(tok)
+        seen = st["seen"]
+        if use_penalty:
+            seen = seen.at[jnp.arange(b), tok].set(True)
+        return {
+            "cache": new_cache,
+            "tokens": tokens,
+            "cur": tok,
+            "finished": finished,
+            "seen": seen,
+            "step": step + 1,
+            "rng": rng,
+        }
+
+    state = jax.lax.while_loop(cond, body, state)
+    tokens = state["tokens"]
+    not_pad = tokens != gen.pad_token_id
+    lengths = jnp.where(
+        jnp.any(not_pad, axis=1),
+        gen.max_new_tokens - jnp.argmax(not_pad[:, ::-1], axis=1),
+        0,
+    )
+    return tokens, lengths.astype(jnp.int32)
+
+
+def stream_generate(
+    decoder: Qwen3Decoder,
+    variables: Any,
+    inputs_embeds: jax.Array,
+    input_ids: jax.Array,
+    gen: GenerationConfig,
+    rng: Optional[jax.Array] = None,
+) -> Iterator[int]:
+    """Token-by-token generator (batch size 1): prefill once, then one jitted
+    step per token with a host sync — the TTFB-optimized streaming path."""
+    assert inputs_embeds.shape[0] == 1, "streaming is defined for batch 1"
+    one_step = dataclasses.replace(gen, max_new_tokens=1, min_new_tokens=0)
+    del one_step  # single-step config not used; loop drives a shared step fn
+
+    cfg = decoder.cfg
+    b, t, _ = inputs_embeds.shape
+    s = t + gen.max_new_tokens
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    cache = decoder.init_cache(b, s, dtype=decoder.dtype)
+    positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    prefill_mask = jnp.broadcast_to(
+        (jnp.arange(s)[None, :] <= jnp.arange(t)[:, None])[None, None], (b, 1, t, s)
+    )
+
+    @jax.jit
+    def prefill(variables, inputs_embeds):
+        logits, new_cache = decoder.apply(
+            variables, inputs_embeds, positions, attn_mask=prefill_mask,
+            cache=cache, cache_index=0,
+        )
+        return logits[:, -1].astype(jnp.float32), new_cache
+
+    @functools.partial(jax.jit, donate_argnames=("step_cache",))
+    def step_fn(variables, cur, pos, step_cache, seen, key):
+        embeds = decoder.apply(variables, cur[:, None], method=Qwen3Decoder.embed)
+        step_mask = (jnp.arange(s) <= pos)[None, None, None, :]
+        logits, new_cache = decoder.apply(
+            variables, embeds, jnp.full((b, 1), pos, jnp.int32),
+            attn_mask=jnp.broadcast_to(step_mask, (b, 1, 1, s)),
+            cache=step_cache, cache_index=pos,
+        )
+        logits = logits[:, 0].astype(jnp.float32)
+        if gen.repetition_penalty != 1.0:
+            logits = _apply_repetition_penalty(logits, seen, gen.repetition_penalty)
+        tok = _select_token(logits, gen, key)
+        if gen.repetition_penalty != 1.0:
+            seen = seen.at[jnp.arange(b), tok].set(True)
+        return tok, new_cache, seen
+
+    last_logits, cache = prefill(variables, inputs_embeds)
+    if gen.repetition_penalty != 1.0:
+        seen = jnp.zeros((b, cfg.vocab_size), dtype=bool)
+        seen = seen.at[jnp.arange(b)[:, None], input_ids].set(True)
+    else:
+        seen = jnp.zeros((b, 1), dtype=bool)
+
+    rng, key = jax.random.split(rng)
+    if gen.repetition_penalty != 1.0:
+        last_logits = _apply_repetition_penalty(last_logits, seen, gen.repetition_penalty)
+    tok = _select_token(last_logits, gen, key)
+    if gen.repetition_penalty != 1.0:
+        seen = seen.at[jnp.arange(b), tok].set(True)
+
+    eos = set(gen.eos_token_ids)
+    for step in range(gen.max_new_tokens):
+        tok_host = int(tok[0])
+        if tok_host in eos:
+            return
+        yield tok_host
+        if step == gen.max_new_tokens - 1:
+            return
+        rng, key = jax.random.split(rng)
+        tok, cache, seen = step_fn(variables, tok, t + step, cache, seen, key)

@@ -1,0 +1,386 @@
+"""ASRModel: frozen audio encoder + trainable projector + frozen LM, one graph.
+
+Re-designed equivalent of the reference ``ASRModel``
+(``/root/reference/tiny_audio/asr_modeling.py:47-869``).  The PyTorch original
+composes three HF modules and splices audio embeddings into the prompt with
+``masked_scatter``; here the whole inference path — mel mask -> encoder ->
+projector -> splice -> KV-cached decode — is one jitted XLA computation per
+(mel-bucket, prompt-bucket) shape.
+
+Splice semantics: row-aligned — the j-th ``<audio>`` placeholder of row b
+receives ``audio_embeds[b, j]``.  This is exactly the reference semantics for
+training batches (placeholder counts equal per-row token counts,
+asr_modeling.py:500-515) and for generation (the reference builds every
+prompt with the batch-max token count, :593-605; its masked_scatter would
+bleed embeddings across rows for heterogeneous batches — a latent reference
+bug we do not replicate).
+
+Freezing: the encoder (and the LM unless ``freeze_language_model=False``) is
+wrapped in ``stop_gradient`` inside the loss, the optimizer only sees the
+projector (+ LoRA) leaves, and ``audio_token_dropout`` reproduces the
+SpecAugment-style frame dropout (asr_modeling.py:458-479).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from tiny_audio_tpu.config import ASRConfig, compute_encoder_output_length
+from tiny_audio_tpu.generation import GenerationConfig, generate_tokens, stream_generate
+from tiny_audio_tpu.models.decoder import Qwen3Decoder, make_causal_mask
+from tiny_audio_tpu.models.encoder import AudioEncoder
+from tiny_audio_tpu.models.projectors import create_projector
+from tiny_audio_tpu.tokenization import AUDIO_TOKEN, ByteTokenizer, HFTokenizerAdapter
+
+TRANSCRIBE_PROMPT = "Transcribe the speech to text"
+
+
+def splice_audio(
+    text_embeds: jax.Array,
+    audio_token_mask: jax.Array,
+    audio_embeds: jax.Array,
+) -> jax.Array:
+    """Row-aligned splice: j-th True position of row b <- audio_embeds[b, j]."""
+    idx_in_row = jnp.cumsum(audio_token_mask, axis=1) - 1
+    idx_in_row = jnp.clip(idx_in_row, 0, audio_embeds.shape[1] - 1)
+    gathered = jnp.take_along_axis(audio_embeds, idx_in_row[:, :, None], axis=1)
+    return jnp.where(
+        audio_token_mask[:, :, None], gathered.astype(text_embeds.dtype), text_embeds
+    )
+
+
+class ASRModel:
+    """Composition + orchestration.  Parameters live in a plain pytree::
+
+        {"encoder": ..., "decoder": ..., "projector": ...}
+
+    so freezing, optimizer masking, and sharding rules address towers by name.
+    """
+
+    TRANSCRIBE_PROMPT = TRANSCRIBE_PROMPT
+
+    def __init__(
+        self,
+        config: ASRConfig,
+        tokenizer=None,
+        params: Optional[dict] = None,
+        seed: int = 0,
+        mesh=None,
+    ):
+        self.config = config
+        dtype = jnp.bfloat16 if config.model_dtype == "bfloat16" else jnp.float32
+        self.dtype = dtype
+        self.encoder = AudioEncoder(config.encoder, dtype=dtype, param_dtype=dtype)
+        self.decoder = Qwen3Decoder(config.decoder, dtype=dtype, param_dtype=dtype)
+        self.projector = create_projector(config, dtype=dtype, param_dtype=jnp.float32)
+        self.tokenizer = tokenizer or ByteTokenizer(config.decoder.vocab_size)
+        self.system_prompt = config.system_prompt
+        self.mesh = mesh
+        self.params = params if params is not None else self.init_params(seed)
+        self.gen_config = GenerationConfig.from_asr_config(
+            config, self.tokenizer.eos_token_ids, self.tokenizer.pad_token_id
+        )
+
+    # ------------------------------------------------------------------ init
+
+    def init_params(self, seed: int = 0) -> dict:
+        cfg = self.config
+        k_enc, k_dec, k_proj = jax.random.split(jax.random.PRNGKey(seed), 3)
+        mel = jnp.zeros((1, cfg.encoder.num_mel_bins, 32), self.dtype)
+        enc_vars = self.encoder.init(k_enc, mel)
+        enc_out_dim = cfg.encoder.d_model
+        embeds = jnp.zeros((1, 8, cfg.decoder.hidden_size), self.dtype)
+        positions = jnp.zeros((1, 8), jnp.int32)
+        dec_vars = self.decoder.init(k_dec, embeds, positions)
+        proj_in = jnp.zeros((1, 16, enc_out_dim), self.dtype)
+        proj_vars = self.projector.init(
+            {"params": k_proj, "jitter": k_proj, "dropout": k_proj}, proj_in, train=False
+        )
+        return {
+            "encoder": enc_vars["params"],
+            "decoder": dec_vars["params"],
+            "projector": proj_vars["params"],
+        }
+
+    # ------------------------------------------------------------- audio path
+
+    def _encode_audio(
+        self,
+        params: dict,
+        input_features: jax.Array,
+        audio_attention_mask: jax.Array,
+        train: bool = False,
+        rngs: Optional[dict] = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Mel -> encoder (frozen) -> optional frame dropout -> projector.
+
+        Returns ([B, T_proj, llm_dim] audio embeds, scalar aux loss).
+        """
+        hidden = self.encoder.apply(
+            {"params": params["encoder"]}, input_features,
+            frame_mask=audio_attention_mask,
+        )
+        hidden = jax.lax.stop_gradient(hidden)
+
+        p = float(self.config.audio_token_dropout)
+        if train and p > 0.0 and rngs and "dropout" in rngs:
+            keep = jax.random.bernoulli(rngs["dropout"], 1.0 - p, hidden.shape[:-1])
+            hidden = hidden * keep[..., None].astype(hidden.dtype)
+
+        proj_rngs = {}
+        if train and rngs:
+            proj_rngs = {k: v for k, v in rngs.items() if k in ("jitter", "dropout")}
+        audio_embeds, aux = self.projector.apply(
+            {"params": params["projector"]}, hidden, train=train,
+            rngs=proj_rngs or None,
+        )
+        return audio_embeds, aux
+
+    # --------------------------------------------------------------- training
+
+    def compute_loss(
+        self,
+        params: dict,
+        batch: dict,
+        train: bool = True,
+        rngs: Optional[dict] = None,
+    ) -> tuple[jax.Array, dict]:
+        """Causal-LM loss over assistant tokens + projector aux loss.
+
+        batch: input_ids [B,T], attention_mask [B,T], labels [B,T] (-100
+        masked), input_features [B,mel,Tm], audio_attention_mask [B,Tm].
+        """
+        input_ids = batch["input_ids"]
+        labels = batch["labels"]
+        attn = batch["attention_mask"]
+
+        audio_embeds, aux = self._encode_audio(
+            params, batch["input_features"], batch["audio_attention_mask"],
+            train=train, rngs=rngs,
+        )
+
+        dec_params = params["decoder"]
+        if self.config.freeze_language_model:
+            dec_params = jax.lax.stop_gradient(dec_params)
+
+        text_embeds = self.decoder.apply(
+            {"params": dec_params}, input_ids, method=Qwen3Decoder.embed
+        )
+        audio_mask = input_ids == self.tokenizer.audio_token_id
+        inputs_embeds = splice_audio(text_embeds, audio_mask, audio_embeds)
+
+        positions = jnp.clip(jnp.cumsum(attn, axis=1) - 1, 0)
+        logits, _ = self.decoder.apply(
+            {"params": dec_params}, inputs_embeds, positions,
+            attn_mask=make_causal_mask(attn),
+        )
+
+        # shift: predict token t+1 from position t
+        shift_logits = logits[:, :-1].astype(jnp.float32)
+        shift_labels = labels[:, 1:]
+        valid = shift_labels != -100
+        safe_labels = jnp.where(valid, shift_labels, 0)
+        logprobs = jax.nn.log_softmax(shift_logits, axis=-1)
+        token_ll = jnp.take_along_axis(logprobs, safe_labels[..., None], axis=-1)[..., 0]
+        denom = jnp.maximum(valid.sum(), 1)
+        ce = -(token_ll * valid).sum() / denom
+        loss = ce + aux
+        return loss, {"ce_loss": ce, "aux_loss": aux, "num_label_tokens": valid.sum()}
+
+    # -------------------------------------------------------------- inference
+
+    def _num_audio_tokens(self, mel_length: int) -> int:
+        enc_len = compute_encoder_output_length(
+            int(mel_length), self.config.encoder_conv_layers
+        )
+        return int(self.projector.get_output_length(enc_len))
+
+    def build_prompt_ids(
+        self,
+        num_audio_tokens: int,
+        user_prompt: Optional[str] = None,
+        system_prompt: Optional[str] = None,
+    ) -> list[int]:
+        """Chat-templated prompt with N audio placeholders
+        (reference asr_modeling.py:593-614)."""
+        prompt = self.TRANSCRIBE_PROMPT if user_prompt is None else user_prompt
+        user_content = AUDIO_TOKEN * num_audio_tokens
+        if prompt:
+            user_content += " " + prompt
+        messages = []
+        sp = self.system_prompt if system_prompt is None else system_prompt
+        if sp:
+            messages.append({"role": "system", "content": sp})
+        messages.append({"role": "user", "content": user_content})
+        ids = self.tokenizer.apply_chat_template(
+            messages, tokenize=True, add_generation_prompt=True, enable_thinking=False
+        )
+        return list(map(int, ids))
+
+    @functools.partial(jax.jit, static_argnames=("self", "gen"))
+    def _generate_jit(
+        self,
+        params,
+        input_features,
+        audio_attention_mask,
+        input_ids,
+        prompt_mask,
+        gen: GenerationConfig,
+    ):
+        audio_embeds, _ = self._encode_audio(
+            params, input_features, audio_attention_mask, train=False
+        )
+        text_embeds = self.decoder.apply(
+            {"params": params["decoder"]}, input_ids, method=Qwen3Decoder.embed
+        )
+        audio_mask = (input_ids == self.tokenizer.audio_token_id) & prompt_mask.astype(bool)
+        inputs_embeds = splice_audio(text_embeds, audio_mask, audio_embeds)
+        return generate_tokens(
+            self.decoder, {"params": params["decoder"]},
+            inputs_embeds, input_ids, gen,
+        )
+
+    def generate(
+        self,
+        input_features,
+        audio_attention_mask,
+        user_prompt: Optional[str] = None,
+        system_prompt: Optional[str] = None,
+        **overrides,
+    ) -> np.ndarray:
+        """Transcribe a batch.  Returns generated token ids [B, max_new]
+        (pad after EOS), prompt already stripped."""
+        input_features = jnp.asarray(input_features)
+        audio_attention_mask = jnp.asarray(audio_attention_mask)
+        b = input_features.shape[0]
+
+        real_mel = int(np.asarray(audio_attention_mask).sum(axis=-1).max())
+        n_audio = self._num_audio_tokens(real_mel)
+        ids = self.build_prompt_ids(n_audio, user_prompt, system_prompt)
+        input_ids = jnp.asarray(np.tile(np.array(ids, np.int32), (b, 1)))
+        prompt_mask = jnp.ones_like(input_ids)
+
+        gen = self.gen_config
+        if overrides:
+            import dataclasses as _dc
+
+            gen = _dc.replace(gen, **overrides)
+
+        tokens, _ = self._generate_jit(
+            self.params, input_features, audio_attention_mask,
+            input_ids, prompt_mask, gen,
+        )
+        return np.asarray(tokens)
+
+    def generate_streaming(
+        self,
+        input_features,
+        audio_attention_mask,
+        user_prompt: Optional[str] = None,
+        system_prompt: Optional[str] = None,
+    ):
+        """Yield decoded text fragments token-by-token, filtering <think>
+        blocks (reference asr_modeling.py:648-767)."""
+        input_features = jnp.asarray(input_features)
+        audio_attention_mask = jnp.asarray(audio_attention_mask)
+        assert input_features.shape[0] == 1
+
+        real_mel = int(np.asarray(audio_attention_mask).sum(axis=-1).max())
+        n_audio = self._num_audio_tokens(real_mel)
+        ids = self.build_prompt_ids(n_audio, user_prompt, system_prompt)
+        input_ids = jnp.asarray(np.array(ids, np.int32)[None, :])
+
+        audio_embeds, _ = self._encode_audio(
+            self.params, input_features, audio_attention_mask, train=False
+        )
+        text_embeds = self.decoder.apply(
+            {"params": self.params["decoder"]}, input_ids, method=Qwen3Decoder.embed
+        )
+        audio_mask = input_ids == self.tokenizer.audio_token_id
+        inputs_embeds = splice_audio(text_embeds, audio_mask, audio_embeds)
+
+        in_think = False
+        buffer = ""
+        pending: list[int] = []
+        for tok in stream_generate(
+            self.decoder, {"params": self.params["decoder"]},
+            inputs_embeds, input_ids, self.gen_config,
+        ):
+            pending.append(tok)
+            text = self.tokenizer.decode(pending, skip_special_tokens=True)
+            if not text:
+                continue
+            pending = []
+            buffer += text
+            while "<think>" in buffer:
+                in_think = True
+                before = buffer.split("<think>")[0]
+                if before:
+                    yield before
+                buffer = buffer.split("<think>", 1)[-1]
+            while in_think and "</think>" in buffer:
+                in_think = False
+                buffer = buffer.split("</think>", 1)[-1]
+            if not in_think and buffer:
+                yield buffer
+                buffer = ""
+        if buffer and not in_think:
+            yield buffer
+
+    # ------------------------------------------------------------ persistence
+
+    def save_pretrained(self, save_directory, save_towers: bool = True) -> None:
+        """Checkpoint contract: config.json + projector.msgpack (trainable
+        state, mirroring the reference's projector-only ``state_dict``,
+        asr_modeling.py:398-422) + optional tower weights for
+        self-containment."""
+        save_dir = Path(save_directory)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        self.config.save_pretrained(save_dir)
+        (save_dir / "projector.msgpack").write_bytes(
+            serialization.to_bytes(self.params["projector"])
+        )
+        if not self.config.freeze_language_model:
+            (save_dir / "decoder.msgpack").write_bytes(
+                serialization.to_bytes(self.params["decoder"])
+            )
+        if save_towers:
+            (save_dir / "towers.msgpack").write_bytes(
+                serialization.to_bytes(
+                    {"encoder": self.params["encoder"], "decoder": self.params["decoder"]}
+                )
+            )
+        meta = {"framework": "tiny_audio_tpu", "format": "flax-msgpack"}
+        (save_dir / "tpu_metadata.json").write_text(json.dumps(meta, indent=2))
+
+    @classmethod
+    def from_pretrained(cls, path, tokenizer=None, **kwargs) -> "ASRModel":
+        path = Path(path)
+        config = ASRConfig.from_pretrained(path)
+        if tokenizer is None and (path / "tokenizer_config.json").exists():
+            tokenizer = HFTokenizerAdapter.from_pretrained(str(path))
+        model = cls(config, tokenizer=tokenizer, **kwargs)
+        if (path / "towers.msgpack").exists():
+            towers = serialization.from_bytes(
+                {"encoder": model.params["encoder"], "decoder": model.params["decoder"]},
+                (path / "towers.msgpack").read_bytes(),
+            )
+            model.params["encoder"] = towers["encoder"]
+            model.params["decoder"] = towers["decoder"]
+        if (path / "decoder.msgpack").exists():
+            model.params["decoder"] = serialization.from_bytes(
+                model.params["decoder"], (path / "decoder.msgpack").read_bytes()
+            )
+        if (path / "projector.msgpack").exists():
+            model.params["projector"] = serialization.from_bytes(
+                model.params["projector"], (path / "projector.msgpack").read_bytes()
+            )
+        return model

@@ -1,0 +1,191 @@
+"""ASRPipeline: audio in -> transcript out, with timestamps and diarization.
+
+Re-designed equivalent of ``/root/reference/tiny_audio/asr_pipeline.py``: input
+normalization (path / bytes / ndarray / dict), model generation, and
+post-processing — EOS filtering, ``<think>``-tag stripping, and trailing
+repetition truncation — plus optional word-level timestamps (forced
+alignment) and speaker diarization.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Optional, Union
+
+import numpy as np
+
+from tiny_audio_tpu.utils.audio_io import read_wav, resample
+
+_THINK_RE = re.compile(r"<think>.*?</think>\s*", flags=re.DOTALL)
+_MIN_REPEATS = 3
+
+
+def _strip_think(text: str) -> str:
+    if "<think>" in text:
+        return _THINK_RE.sub("", text).strip()
+    return text
+
+
+def truncate_repetitions(text: str, min_repeats: int = _MIN_REPEATS) -> str:
+    """Collapse trailing repetitions to a single occurrence.
+
+    Handles, in order (reference asr_pipeline.py:272-324):
+    1. trailing repeated characters:   "no444444"   -> "no4"
+    2. trailing repeated single words: "the the the" -> "the"
+    3. trailing repeated 2..20-word phrases:
+       "i am sorry i am sorry i am sorry" -> "i am sorry"
+
+    A repetition only triggers at >= ``min_repeats`` consecutive occurrences
+    at the very end of the string.
+    """
+    if not text:
+        return text
+
+    # 1. trailing character runs
+    text = re.sub(rf"(.)\1{{{min_repeats - 1},}}$", r"\1", text)
+
+    # 2. trailing single-word runs (case-insensitive), repeat until stable
+    word_re = re.compile(rf"\b(\w+)(?:\s+\1){{{min_repeats - 1},}}\s*$", re.IGNORECASE)
+    while word_re.search(text):
+        text = word_re.sub(r"\1", text)
+
+    # 3. trailing phrase runs
+    words = text.split()
+    if len(words) < min_repeats * 2:
+        return text
+    tail = words[-min_repeats * 2 :]
+    if len(set(tail)) == len(tail):  # no duplicated word => no phrase repeat
+        return text
+    for phrase_len in range(2, min(21, len(words) // min_repeats + 1)):
+        phrase = re.escape(" ".join(words[-phrase_len:]))
+        m = re.match(
+            rf"(^|.*?\s)({phrase})(?:\s+{phrase}){{{min_repeats - 1},}}\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            return (m.group(1) + m.group(2)).strip()
+    return text
+
+
+class ASRPipeline:
+    """End-to-end transcription pipeline over an :class:`ASRModel`."""
+
+    def __init__(self, model, processor=None):
+        from tiny_audio_tpu.processing import ASRProcessor
+
+        self.model = model
+        self.processor = processor or ASRProcessor(
+            tokenizer=model.tokenizer,
+            projector=model.projector,
+            num_mel_bins=model.config.encoder.num_mel_bins,
+            encoder_conv_layers=model.config.encoder_conv_layers,
+        )
+        self.tokenizer = model.tokenizer
+
+    # ----------------------------------------------------------------- input
+
+    @staticmethod
+    def extract_audio(inputs: Any, target_rate: int = 16000) -> dict:
+        """Normalize any supported input into {"array", "sampling_rate"}."""
+        if isinstance(inputs, dict):
+            array = inputs.get("array", inputs.get("raw"))
+            if array is None:
+                raise ValueError("dict input requires 'array' or 'raw'")
+            rate = inputs.get("sampling_rate", target_rate)
+        elif isinstance(inputs, (str, Path)):
+            array, rate = read_wav(inputs)
+        elif isinstance(inputs, bytes):
+            array, rate = read_wav(inputs)
+        elif isinstance(inputs, np.ndarray):
+            array, rate = inputs, target_rate
+        else:
+            raise TypeError(f"Unsupported input type: {type(inputs)}")
+        array = np.asarray(array, dtype=np.float32).squeeze()
+        if array.ndim > 1:
+            array = array.mean(axis=0)
+        if rate != target_rate:
+            array = resample(array, rate, target_rate)
+            rate = target_rate
+        return {"array": array, "sampling_rate": rate}
+
+    # ------------------------------------------------------------------ main
+
+    def __call__(
+        self,
+        inputs,
+        return_timestamps: bool = False,
+        return_speakers: bool = False,
+        user_prompt: Optional[str] = None,
+        num_speakers: Optional[int] = None,
+        min_speakers: Optional[int] = None,
+        max_speakers: Optional[int] = None,
+        **generate_kwargs,
+    ) -> dict:
+        if return_speakers:
+            return_timestamps = True
+
+        audio = self.extract_audio(inputs)
+        feats = self.processor.extract_features(audio["array"])
+
+        tokens = self.model.generate(
+            feats["input_features"],
+            feats["audio_attention_mask"],
+            user_prompt=user_prompt,
+            **generate_kwargs,
+        )
+        result = {"text": self.postprocess_tokens(tokens[0])}
+
+        if return_timestamps:
+            text = result["text"]
+            if text:
+                try:
+                    from tiny_audio_tpu.alignment import ForcedAligner
+
+                    result["words"] = ForcedAligner.align(
+                        audio["array"], text, sample_rate=audio["sampling_rate"]
+                    )
+                except Exception as e:  # mirror reference error capture (:117-131)
+                    result["words"] = []
+                    result["timestamp_error"] = str(e)
+            else:
+                result["words"] = []
+
+        if return_speakers:
+            try:
+                from tiny_audio_tpu.diarization import SpeakerDiarizer
+
+                kwargs = {
+                    k: v
+                    for k, v in {
+                        "num_speakers": num_speakers,
+                        "min_speakers": min_speakers,
+                        "max_speakers": max_speakers,
+                    }.items()
+                    if v is not None
+                }
+                segments = SpeakerDiarizer.diarize(
+                    audio["array"], sample_rate=audio["sampling_rate"], **kwargs
+                )
+                result["speaker_segments"] = segments
+                if result.get("words"):
+                    result["words"] = SpeakerDiarizer.assign_speakers_to_words(
+                        result["words"], segments
+                    )
+            except Exception as e:
+                result["speaker_segments"] = []
+                result["diarization_error"] = str(e)
+
+        return result
+
+    # ----------------------------------------------------------- postprocess
+
+    def postprocess_tokens(self, tokens: Union[np.ndarray, list]) -> str:
+        """EOS filter -> decode -> think-strip -> repetition truncation
+        (reference asr_pipeline.py:233-269)."""
+        eos = set(self.tokenizer.eos_token_ids) | {self.tokenizer.pad_token_id}
+        ids = [int(t) for t in np.asarray(tokens).reshape(-1) if int(t) not in eos]
+        text = self.tokenizer.decode(ids, skip_special_tokens=True).strip()
+        text = _strip_think(text)
+        return truncate_repetitions(text)
