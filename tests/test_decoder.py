@@ -11,11 +11,7 @@ import numpy as np
 import pytest
 
 from tiny_audio_tpu.config import DecoderConfig
-from tiny_audio_tpu.models.decoder import (
-    Qwen3Decoder,
-    convert_hf_qwen3,
-    make_causal_mask,
-)
+from tiny_audio_tpu.models.decoder import Qwen3Decoder, convert_hf_qwen3
 
 CFG = DecoderConfig(
     vocab_size=512,
@@ -73,9 +69,10 @@ def test_logits_match_hf(hf_model, jax_params, decoder, rng):
         ref = hf_model(input_ids=torch.tensor(ids)).logits.numpy()
 
     embeds = decoder.apply(jax_params, jnp.asarray(ids), method=Qwen3Decoder.embed)
-    mask = make_causal_mask(jnp.ones_like(jnp.asarray(ids)))
     positions = jnp.broadcast_to(jnp.arange(ids.shape[1]), ids.shape)
-    logits, _ = decoder.apply(jax_params, embeds, positions, attn_mask=mask)
+    logits, _ = decoder.apply(
+        jax_params, embeds, positions, padding_mask=jnp.ones_like(jnp.asarray(ids))
+    )
     np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4, rtol=2e-3)
 
 
@@ -91,9 +88,10 @@ def test_padding_mask_matches_hf(hf_model, jax_params, decoder, rng):
         ).logits.numpy()
 
     embeds = decoder.apply(jax_params, jnp.asarray(ids), method=Qwen3Decoder.embed)
-    mask = make_causal_mask(jnp.asarray(attn))
     positions = jnp.broadcast_to(jnp.arange(9), ids.shape)
-    logits, _ = decoder.apply(jax_params, embeds, positions, attn_mask=mask)
+    logits, _ = decoder.apply(
+        jax_params, embeds, positions, padding_mask=jnp.asarray(attn)
+    )
     # compare only real positions
     np.testing.assert_allclose(
         np.asarray(logits)[attn.astype(bool)], ref[attn.astype(bool)],
@@ -108,16 +106,16 @@ def test_kv_cache_decode_matches_full_forward(jax_params, decoder, rng):
 
     embeds = decoder.apply(jax_params, ids, method=Qwen3Decoder.embed)
     positions = jnp.broadcast_to(jnp.arange(t_total), (b, t_total))
-    full_mask = make_causal_mask(jnp.ones((b, t_total), jnp.int32))
-    full_logits, _ = decoder.apply(jax_params, embeds, positions, attn_mask=full_mask)
+    full_logits, _ = decoder.apply(
+        jax_params, embeds, positions,
+        padding_mask=jnp.ones((b, t_total), jnp.int32),
+    )
 
     # Prefill on the prompt
     cache = decoder.init_cache(b, max_len, dtype=jnp.float32)
-    prompt_mask = jnp.arange(max_len)[None, None, None, :] <= jnp.arange(t_prompt)[None, None, :, None]
-    prompt_mask = jnp.broadcast_to(prompt_mask, (b, 1, t_prompt, max_len))
     logits_p, cache = decoder.apply(
         jax_params, embeds[:, :t_prompt], positions[:, :t_prompt],
-        attn_mask=prompt_mask, cache=cache, cache_index=0,
+        padding_mask=jnp.ones((b, t_prompt), jnp.int32), cache=cache, cache_index=0,
     )
     np.testing.assert_allclose(
         np.asarray(logits_p), np.asarray(full_logits[:, :t_prompt]), atol=1e-4, rtol=1e-3
@@ -125,11 +123,10 @@ def test_kv_cache_decode_matches_full_forward(jax_params, decoder, rng):
 
     # Step-by-step decode for the remaining tokens
     for step in range(t_prompt, t_total):
-        step_mask = (jnp.arange(max_len) <= step)[None, None, None, :]
-        step_mask = jnp.broadcast_to(step_mask, (b, 1, 1, max_len))
+        kv_valid = (jnp.arange(max_len) <= step)[None, :].astype(jnp.int32)
         logits_s, cache = decoder.apply(
             jax_params, embeds[:, step : step + 1], positions[:, step : step + 1],
-            attn_mask=step_mask, cache=cache, cache_index=step,
+            step_kv_valid=kv_valid, cache=cache, cache_index=step,
         )
         np.testing.assert_allclose(
             np.asarray(logits_s[:, 0]), np.asarray(full_logits[:, step]),
@@ -141,11 +138,12 @@ def test_decoder_jit_and_determinism(jax_params, decoder, rng):
     ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 7)))
     embeds = decoder.apply(jax_params, ids, method=Qwen3Decoder.embed)
     positions = jnp.arange(7)[None, :]
-    mask = make_causal_mask(jnp.ones((1, 7), jnp.int32))
 
     @jax.jit
     def run(e):
-        out, _ = decoder.apply(jax_params, e, positions, attn_mask=mask)
+        out, _ = decoder.apply(
+            jax_params, e, positions, padding_mask=jnp.ones((1, 7), jnp.int32)
+        )
         return out
 
     a, b_ = run(embeds), run(embeds)

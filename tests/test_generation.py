@@ -9,7 +9,7 @@ import pytest
 
 from tiny_audio_tpu.config import DecoderConfig
 from tiny_audio_tpu.generation import GenerationConfig, generate_tokens, stream_generate
-from tiny_audio_tpu.models.decoder import Qwen3Decoder, make_causal_mask
+from tiny_audio_tpu.models.decoder import Qwen3Decoder
 
 CFG = DecoderConfig(
     vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
@@ -37,9 +37,11 @@ def naive_greedy(decoder, variables, embeds, ids, gen):
         seen[r, np.asarray(ids)[r]] = True
     for step in range(gen.max_new_tokens):
         t = cur_embeds.shape[1]
-        mask = make_causal_mask(jnp.ones((b, t), jnp.int32))
         positions = jnp.broadcast_to(jnp.arange(t), (b, t))
-        logits, _ = decoder.apply(variables, cur_embeds, positions, attn_mask=mask)
+        logits, _ = decoder.apply(
+            variables, cur_embeds, positions,
+            padding_mask=jnp.ones((b, t), jnp.int32),
+        )
         logits = np.asarray(logits[:, -1], np.float32)
         if gen.repetition_penalty != 1.0:
             pen = np.where(logits > 0, logits / gen.repetition_penalty,

@@ -1,0 +1,146 @@
+"""Word-level timestamps via CTC forced alignment.
+
+Re-designed equivalent of ``/root/reference/tiny_audio/alignment.py``: a
+character-CTC acoustic model emits 20 ms log-probs, a Viterbi trellis aligns
+the transcript characters, and aligned tokens are grouped into words with the
+same calibrated bias offsets.  The trellis is a ``lax.scan``
+(:mod:`tiny_audio_tpu.ops.ctc`) instead of the reference's O(T·N) Python loop.
+
+Emission model: :class:`~tiny_audio_tpu.models.wav2vec2.Wav2Vec2CTC` with
+converted WAV2VEC2_ASR_BASE_960H weights when available
+(``ForcedAligner.load_weights``); without weights the aligner emits uniform
+spans (the reference's own failure fallback).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tiny_audio_tpu.models.wav2vec2 import CTC_LABELS, Wav2Vec2CTC
+from tiny_audio_tpu.ops.ctc import ctc_backtrack, ctc_trellis
+
+FRAME_STRIDE = 320  # samples per CTC frame at 16 kHz -> 20 ms
+# Calibrated systematic-bias offsets (reference alignment.py:154-157)
+START_OFFSET = 0.06
+END_OFFSET = -0.03
+
+
+class ForcedAligner:
+    """Lazy singleton aligner (mirrors the reference's class-level cache)."""
+
+    _model: Optional[Wav2Vec2CTC] = None
+    _params = None
+    _dictionary = {c: i for i, c in enumerate(CTC_LABELS)}
+
+    @classmethod
+    def load_weights(cls, path) -> None:
+        """Load converted Wav2Vec2-CTC params (flax msgpack file)."""
+        from flax import serialization
+
+        cls._model = Wav2Vec2CTC()
+        waveform = jnp.zeros((1, FRAME_STRIDE * 4), jnp.float32)
+        template = cls._model.init(jax.random.PRNGKey(0), waveform)["params"]
+        cls._params = serialization.from_bytes(
+            template, Path(path).read_bytes()
+        )
+
+    @classmethod
+    def has_model(cls) -> bool:
+        return cls._params is not None
+
+    # ------------------------------------------------------------------ core
+
+    @classmethod
+    def _emissions(cls, waveform: np.ndarray) -> np.ndarray:
+        assert cls._model is not None
+        out = cls._model.apply(
+            {"params": cls._params}, jnp.asarray(waveform[None, :])
+        )
+        return np.asarray(out[0])
+
+    @classmethod
+    def tokenize_transcript(cls, text: str) -> list[int]:
+        tokens = []
+        for char in text.upper():
+            if char in cls._dictionary:
+                tokens.append(cls._dictionary[char])
+            elif char == " ":
+                tokens.append(cls._dictionary["|"])
+        return tokens
+
+    @classmethod
+    def align_emissions(
+        cls, emission: np.ndarray, text: str, frame_duration: float
+    ) -> list[dict]:
+        """Align a transcript against an emission matrix (testable core)."""
+        tokens = cls.tokenize_transcript(text)
+        if not tokens:
+            return []
+
+        trellis, moved = ctc_trellis(
+            jnp.asarray(emission, jnp.float32), jnp.asarray(tokens, jnp.int32)
+        )
+        spans = ctc_backtrack(np.asarray(trellis), np.asarray(moved), np.asarray(tokens))
+
+        separator_id = cls._dictionary["|"]
+        words = text.split()
+        word_timestamps: list[dict] = []
+        cur_start = cur_end = None
+        word_idx = 0
+
+        def flush(start, end, idx):
+            word_timestamps.append(
+                {
+                    "word": words[idx],
+                    "start": max(0.0, start * frame_duration - START_OFFSET),
+                    "end": max(0.0, end * frame_duration - END_OFFSET),
+                }
+            )
+
+        for token_id, start_f, end_f in spans:
+            if token_id == separator_id:
+                if cur_start is not None and cur_end is not None and word_idx < len(words):
+                    flush(cur_start, cur_end, word_idx)
+                    word_idx += 1
+                cur_start = cur_end = None
+            else:
+                if cur_start is None:
+                    cur_start = start_f
+                cur_end = end_f
+        if cur_start is not None and cur_end is not None and word_idx < len(words):
+            flush(cur_start, cur_end, word_idx)
+        return word_timestamps
+
+    @classmethod
+    def align(
+        cls,
+        audio: np.ndarray,
+        text: str,
+        sample_rate: int = 16000,
+    ) -> list[dict]:
+        """Word-level timestamps for ``text`` against ``audio``."""
+        audio = np.asarray(audio, np.float32).squeeze()
+        if sample_rate != 16000:
+            from tiny_audio_tpu.utils.audio_io import resample
+
+            audio = resample(audio, sample_rate, 16000)
+
+        if not cls.has_model():
+            # Uniform fallback: evenly spread words over the clip duration
+            words = text.split()
+            if not words:
+                return []
+            duration = len(audio) / 16000.0
+            per = duration / len(words)
+            return [
+                {"word": w, "start": i * per, "end": (i + 1) * per}
+                for i, w in enumerate(words)
+            ]
+
+        emission = cls._emissions(audio)
+        return cls.align_emissions(emission, text, FRAME_STRIDE / 16000.0)

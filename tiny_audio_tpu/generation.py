@@ -128,11 +128,9 @@ def generate_tokens(
 
     # ---- prefill ----
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
-    prefill_mask = jnp.broadcast_to(
-        (jnp.arange(s)[None, :] <= jnp.arange(t)[:, None])[None, None], (b, 1, t, s)
-    )
+    prompt_pad = jnp.ones((b, t), jnp.int32)
     logits, cache = decoder.apply(
-        variables, inputs_embeds, positions, attn_mask=prefill_mask,
+        variables, inputs_embeds, positions, padding_mask=prompt_pad,
         cache=cache, cache_index=0,
     )
     last_logits = logits[:, -1].astype(jnp.float32)
@@ -190,12 +188,10 @@ def generate_tokens(
         embeds = decoder.apply(
             variables, st["cur"][:, None], method=Qwen3Decoder.embed
         )
-        step_mask = jnp.broadcast_to(
-            (jnp.arange(s) <= pos)[None, None, None, :], (b, 1, 1, s)
-        )
+        kv_valid = (jnp.arange(s) <= pos)[None, :].astype(jnp.int32)
         logits, new_cache = decoder.apply(
             variables, embeds, jnp.full((b, 1), pos, jnp.int32),
-            attn_mask=step_mask, cache=st["cache"], cache_index=pos,
+            step_kv_valid=kv_valid, cache=st["cache"], cache_index=pos,
         )
         rng, key = jax.random.split(st["rng"])
         tok = pick(logits[:, 0].astype(jnp.float32), step, st["seen"], key)
@@ -249,14 +245,12 @@ def stream_generate(
 
     cache = decoder.init_cache(b, s, dtype=decoder.dtype)
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
-    prefill_mask = jnp.broadcast_to(
-        (jnp.arange(s)[None, :] <= jnp.arange(t)[:, None])[None, None], (b, 1, t, s)
-    )
 
     @jax.jit
     def prefill(variables, inputs_embeds):
         logits, new_cache = decoder.apply(
-            variables, inputs_embeds, positions, attn_mask=prefill_mask,
+            variables, inputs_embeds, positions,
+            padding_mask=jnp.ones((b, t), jnp.int32),
             cache=cache, cache_index=0,
         )
         return logits[:, -1].astype(jnp.float32), new_cache
@@ -264,10 +258,10 @@ def stream_generate(
     @functools.partial(jax.jit, donate_argnames=("step_cache",))
     def step_fn(variables, cur, pos, step_cache, seen, key):
         embeds = decoder.apply(variables, cur[:, None], method=Qwen3Decoder.embed)
-        step_mask = (jnp.arange(s) <= pos)[None, None, None, :]
+        kv_valid = (jnp.arange(s) <= pos)[None, :].astype(jnp.int32)
         logits, new_cache = decoder.apply(
             variables, embeds, jnp.full((b, 1), pos, jnp.int32),
-            attn_mask=jnp.broadcast_to(step_mask, (b, 1, 1, s)),
+            step_kv_valid=kv_valid,
             cache=step_cache, cache_index=pos,
         )
         logits = logits[:, 0].astype(jnp.float32)

@@ -35,7 +35,7 @@ from flax import serialization
 
 from tiny_audio_tpu.config import ASRConfig, compute_encoder_output_length
 from tiny_audio_tpu.generation import GenerationConfig, generate_tokens, stream_generate
-from tiny_audio_tpu.models.decoder import Qwen3Decoder, make_causal_mask
+from tiny_audio_tpu.models.decoder import Qwen3Decoder
 from tiny_audio_tpu.models.encoder import AudioEncoder
 from tiny_audio_tpu.models.projectors import create_projector
 from tiny_audio_tpu.tokenization import AUDIO_TOKEN, ByteTokenizer, HFTokenizerAdapter
@@ -180,7 +180,7 @@ class ASRModel:
         positions = jnp.clip(jnp.cumsum(attn, axis=1) - 1, 0)
         logits, _ = self.decoder.apply(
             {"params": dec_params}, inputs_embeds, positions,
-            attn_mask=make_causal_mask(attn),
+            padding_mask=attn,
         )
 
         # shift: predict token t+1 from position t

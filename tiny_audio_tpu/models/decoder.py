@@ -26,10 +26,8 @@ import numpy as np
 
 from tiny_audio_tpu.config import DecoderConfig
 from tiny_audio_tpu.models.layers import (
-    MASK_VALUE,
     RMSNorm,
     apply_rotary,
-    attention,
     rms_norm,
     rotary_embed,
 )
@@ -49,11 +47,15 @@ class Qwen3Block(nn.Module):
     param_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, layer_cache, cos, sin, attn_mask, cache_index):
+    def __call__(self, x, layer_cache, cos, sin, padding_mask, step_kv_valid, cache_index):
         """One transformer block.
 
         x: [B, T, H] hidden states.  layer_cache: None or (k, v) each
-        [B, S, Hkv, D].  Returns (x_out, new_layer_cache).
+        [B, S, Hkv, D].  Attention mode is shape-driven:
+        no cache -> causal training forward (``padding_mask`` [B, T]);
+        cache and T > 1 -> prefill (causal over the fresh K/V, then write);
+        cache and T == 1 -> decode step over the cache (``step_kv_valid`` [B, S]).
+        Returns (x_out, new_layer_cache).
         """
         cfg = self.cfg
         b, t, _ = x.shape
@@ -78,6 +80,11 @@ class Qwen3Block(nn.Module):
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
 
+        from tiny_audio_tpu.ops.attention import (
+            causal_self_attention,
+            decode_step_attention,
+        )
+
         if layer_cache is not None:
             cache_k, cache_v = layer_cache
             cache_k = jax.lax.dynamic_update_slice(
@@ -87,12 +94,13 @@ class Qwen3Block(nn.Module):
                 cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
             )
             new_cache = (cache_k, cache_v)
-            k_att, v_att = cache_k, cache_v
+            if t == 1:  # decode step: attend over the cache
+                out = decode_step_attention(q, cache_k, cache_v, step_kv_valid)
+            else:  # prefill: causal attention over the fresh K/V only
+                out = causal_self_attention(q, k, v, padding_mask)
         else:
             new_cache = None
-            k_att, v_att = k, v
-
-        out = attention(q, k_att, v_att, mask=attn_mask)
+            out = causal_self_attention(q, k, v, padding_mask)
         x = dense(cfg.hidden_size, "o_proj")(out.reshape(b, t, -1))
         x = residual + x
 
@@ -129,7 +137,8 @@ class Qwen3Decoder(nn.Module):
             Qwen3Block,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
+                     nn.broadcast),
             out_axes=0,
             length=cfg.num_layers,
         )
@@ -151,7 +160,8 @@ class Qwen3Decoder(nn.Module):
         self,
         inputs_embeds: jax.Array,
         positions: jax.Array,
-        attn_mask: Optional[jax.Array] = None,
+        padding_mask: Optional[jax.Array] = None,
+        step_kv_valid: Optional[jax.Array] = None,
         cache: Optional[dict] = None,
         cache_index: int | jax.Array = 0,
         return_hidden: bool = False,
@@ -161,7 +171,9 @@ class Qwen3Decoder(nn.Module):
         x = inputs_embeds.astype(self.dtype)
 
         layer_cache = None if cache is None else (cache["k"], cache["v"])
-        x, new_layer_cache = self.layers(x, layer_cache, cos, sin, attn_mask, cache_index)
+        x, new_layer_cache = self.layers(
+            x, layer_cache, cos, sin, padding_mask, step_kv_valid, cache_index
+        )
         x = self.norm(x)
         if return_hidden:
             logits = None

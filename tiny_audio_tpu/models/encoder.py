@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tiny_audio_tpu.config import EncoderConfig, compute_encoder_output_length
-from tiny_audio_tpu.models.layers import attention, sinusoidal_positions
+from tiny_audio_tpu.models.layers import sinusoidal_positions
 
 
 class LayerNorm(nn.Module):
@@ -49,7 +49,9 @@ class EncoderBlock(nn.Module):
     param_dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, attn_mask):
+    def __call__(self, x, padding_mask):
+        from tiny_audio_tpu.ops.attention import encoder_self_attention
+
         cfg = self.cfg
         b, t, _ = x.shape
         h, hd = cfg.num_heads, cfg.head_dim
@@ -65,7 +67,7 @@ class EncoderBlock(nn.Module):
         q = dense(h * hd, "q_proj")(x).reshape(b, t, h, hd)
         k = dense(h * hd, "k_proj", bias=False)(x).reshape(b, t, h, hd)
         v = dense(h * hd, "v_proj")(x).reshape(b, t, h, hd)
-        out = attention(q, k, v, mask=attn_mask)
+        out = encoder_self_attention(q, k, v, padding_mask)
         x = dense(cfg.d_model, "out_proj")(out.reshape(b, t, -1))
         x = residual + x
 
@@ -122,13 +124,14 @@ class AudioEncoder(nn.Module):
             self.dtype
         )[None]
 
-        attn_mask = None
+        padding_mask = None
         if frame_mask is not None:
             enc_lengths = compute_encoder_output_length(
                 frame_mask.sum(axis=-1), cfg.conv_layers
             )
-            key_mask = jnp.arange(t_enc)[None, :] < enc_lengths[:, None]
-            attn_mask = key_mask  # [B, T_enc] padding mask
+            padding_mask = (
+                jnp.arange(t_enc)[None, :] < enc_lengths[:, None]
+            ).astype(jnp.int32)
 
         block = nn.scan(
             EncoderBlock,
@@ -138,7 +141,7 @@ class AudioEncoder(nn.Module):
             out_axes=0,
             length=cfg.num_layers,
         )
-        x, _ = block(cfg, self.dtype, self.param_dtype, name="layers")(x, attn_mask)
+        x, _ = block(cfg, self.dtype, self.param_dtype, name="layers")(x, padding_mask)
         return LayerNorm(cfg.layer_norm_eps, name="layer_norm")(x)
 
 

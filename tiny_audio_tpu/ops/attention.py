@@ -1,0 +1,168 @@
+"""Attention dispatch: Pallas flash attention on TPU, naive XLA elsewhere.
+
+The hot attention shapes in this framework:
+
+- encoder self-attention: [B, 1500, 20 heads, 64]  (30 s of audio)
+- decoder prefill:        [B, ~400, 16/8 GQA heads, 128]
+- decoder decode step:    q_len == 1 against a KV cache
+
+For the first two the naive computation materializes [B, H, T, T] scores in
+HBM — at batch 32 that alone is gigabytes and dominates bandwidth.  We
+dispatch those to the tiled flash-attention kernel
+(``jax.experimental.pallas.ops.tpu.flash_attention``) with segment-id padding
+masks; the decode step stays a fused matvec over the cache (flash would waste
+its tiling on q_len == 1; the paged-attention kernel is the round-2 upgrade).
+
+All public entry points take [B, T, H, D] layout (time-major heads), matching
+the model code, and handle GQA by repeating KV heads for the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tiny_audio_tpu.models import layers as _naive
+
+
+def _platform() -> str:
+    return jax.devices()[0].platform
+
+
+def use_flash() -> bool:
+    force = os.environ.get("TA_FORCE_FLASH")
+    if force is not None:
+        return force == "1"
+    return _platform() == "tpu"
+
+
+def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
+    size = x.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, target - size)
+    return jnp.pad(x, pads)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "scale"))
+def _flash_call(q, k, v, q_seg, kv_seg, causal: bool, scale: float):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    t_q, t_k = q.shape[2], k.shape[2]
+    block_q = min(512, t_q)
+    block_k = min(512, t_k)
+    sizes = BlockSizes(
+        block_q=block_q,
+        block_k_major=block_k,
+        block_k=block_k,
+        block_b=1,
+        block_q_major_dkv=block_q,
+        block_k_major_dkv=block_k,
+        block_k_dkv=block_k,
+        block_q_dkv=block_q,
+        block_k_major_dq=block_k,
+        block_k_dq=block_k,
+        block_q_dq=block_q,
+    )
+    return flash_attention(
+        q, k, v,
+        segment_ids=SegmentIds(q=q_seg, kv=kv_seg),
+        causal=causal,
+        sm_scale=scale,
+        block_sizes=sizes,
+    )
+
+
+def flash_mha(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_mask: Optional[jax.Array] = None,
+    kv_mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Flash attention over [B, T, H, D] inputs with padding masks.
+
+    ``q_mask``/``kv_mask``: [B, T] 1 = real token.  GQA handled by repeating
+    KV heads.  Sequences are zero-padded to a 128 multiple; padding carries
+    segment id 0 vs 1 for real tokens, so it never mixes with real positions.
+    """
+    b, t_q, h_q, d = q.shape
+    h_kv = k.shape[2]
+    scale = scale if scale is not None else d ** -0.5
+    if h_kv != h_q:
+        k = jnp.repeat(k, h_q // h_kv, axis=2)
+        v = jnp.repeat(v, h_q // h_kv, axis=2)
+
+    # [B, T, H, D] -> [B, H, T, D]
+    qt = _pad_to(q.transpose(0, 2, 1, 3), 2, 128)
+    kt = _pad_to(k.transpose(0, 2, 1, 3), 2, 128)
+    vt = _pad_to(v.transpose(0, 2, 1, 3), 2, 128)
+    t_qp, t_kp = qt.shape[2], kt.shape[2]
+
+    if q_mask is None:
+        q_mask = jnp.ones((b, t_q), jnp.int32)
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, k.shape[1]), jnp.int32)
+    q_seg = _pad_to(q_mask.astype(jnp.int32), 1, 128)[:, :t_qp]
+    kv_seg = _pad_to(kv_mask.astype(jnp.int32), 1, 128)[:, :t_kp]
+
+    out = _flash_call(qt, kt, vt, q_seg, kv_seg, causal, float(scale))
+    return out[:, :, :t_q].transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+def causal_self_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    padding_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Causal self-attention over fresh K/V (training forward and prefill)."""
+    if use_flash():
+        return flash_mha(q, k, v, q_mask=padding_mask, kv_mask=padding_mask, causal=True)
+    t = q.shape[1]
+    causal = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
+    if padding_mask is not None:
+        mask = causal & padding_mask.astype(bool)[:, None, None, :]
+    else:
+        mask = jnp.broadcast_to(causal, (q.shape[0], 1, t, t))
+    return _naive.attention(q, k, v, mask=mask)
+
+
+def encoder_self_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    padding_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Bidirectional self-attention with optional padding mask."""
+    if use_flash():
+        return flash_mha(q, k, v, q_mask=padding_mask, kv_mask=padding_mask, causal=False)
+    mask = None
+    if padding_mask is not None:
+        mask = padding_mask.astype(bool)[:, None, None, :]
+    return _naive.attention(q, k, v, mask=mask)
+
+
+def decode_step_attention(
+    q: jax.Array,
+    cache_k: jax.Array,
+    cache_v: jax.Array,
+    kv_valid: jax.Array,
+) -> jax.Array:
+    """q_len==1 attention over the KV cache.  kv_valid: [B, S] or [S]."""
+    if kv_valid.ndim == 1:
+        kv_valid = kv_valid[None, :]
+    mask = kv_valid.astype(bool)[:, None, None, :]
+    return _naive.attention(q, cache_k, cache_v, mask=mask)

@@ -54,11 +54,14 @@ class Qwen3ChatTemplate:
         parts = []
         for m in messages:
             role, content = m["role"], m["content"]
-            if role == "assistant":
-                # Non-thinking assistant turns carry an empty think block in
-                # Qwen3's template when previous turns exist; for ASR training
-                # the reference's collator target is the plain content.
-                parts.append(f"{IM_START}{role}\n{content}{IM_END}\n")
+            if role == "assistant" and not self.enable_thinking:
+                # Non-thinking assistant turns carry the empty think block,
+                # making the generation prompt a strict prefix of the full
+                # render — required for clean chat-ML label masking.
+                parts.append(
+                    f"{IM_START}{role}\n{THINK_OPEN}\n\n{THINK_CLOSE}\n\n"
+                    f"{content}{IM_END}\n"
+                )
             else:
                 parts.append(f"{IM_START}{role}\n{content}{IM_END}\n")
         if add_generation_prompt:
