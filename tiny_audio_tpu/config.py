@@ -91,6 +91,18 @@ class DecoderConfig:
     tie_word_embeddings: bool = True
     max_position_embeddings: int = 40960
 
+    # LoRA (0 = disabled). Populated from ASRConfig.use_lora/lora_* by
+    # ASRModel (stage-2 fine-tuning, reference asr_modeling.py:96-131).
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
+    lora_targets: tuple = (
+        "q_proj", "k_proj", "v_proj", "o_proj",
+        "gate_proj", "up_proj", "down_proj",
+    )
+
+    def __post_init__(self):
+        object.__setattr__(self, "lora_targets", tuple(self.lora_targets))
+
 
 @dataclass
 class ASRConfig:

@@ -43,6 +43,30 @@ from tiny_audio_tpu.tokenization import AUDIO_TOKEN, ByteTokenizer, HFTokenizerA
 TRANSCRIBE_PROMPT = "Transcribe the speech to text"
 
 
+def _is_lora_path(path) -> bool:
+    return any("lora" in str(getattr(k, "key", k)) for k in path)
+
+
+def split_lora(params: dict) -> tuple[dict, dict]:
+    """Partition a decoder param tree into (base, lora) sub-trees, so base
+    checkpoints stay loadable whether or not LoRA is attached (the PEFT
+    adapter-file analogue, reference asr_modeling.py:796-823)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    base = {k: v for k, v in flat.items() if not any("lora" in p for p in k)}
+    lora = {k: v for k, v in flat.items() if any("lora" in p for p in k)}
+    return traverse_util.unflatten_dict(base), traverse_util.unflatten_dict(lora)
+
+
+def merge_lora(base: dict, lora: dict) -> dict:
+    from flax import traverse_util
+
+    flat = dict(traverse_util.flatten_dict(base))
+    flat.update(traverse_util.flatten_dict(lora))
+    return traverse_util.unflatten_dict(flat)
+
+
 def splice_audio(
     text_embeds: jax.Array,
     audio_token_mask: jax.Array,
@@ -79,7 +103,17 @@ class ASRModel:
         dtype = jnp.bfloat16 if config.model_dtype == "bfloat16" else jnp.float32
         self.dtype = dtype
         self.encoder = AudioEncoder(config.encoder, dtype=dtype, param_dtype=dtype)
-        self.decoder = Qwen3Decoder(config.decoder, dtype=dtype, param_dtype=dtype)
+        dec_cfg = config.decoder
+        if config.use_lora:
+            import dataclasses as _dc
+
+            dec_cfg = _dc.replace(
+                dec_cfg,
+                lora_rank=config.lora_rank,
+                lora_alpha=float(config.lora_alpha),
+                lora_targets=tuple(config.lora_target_modules),
+            )
+        self.decoder = Qwen3Decoder(dec_cfg, dtype=dtype, param_dtype=dtype)
         self.projector = create_projector(config, dtype=dtype, param_dtype=jnp.float32)
         self.tokenizer = tokenizer or ByteTokenizer(config.decoder.vocab_size)
         self.system_prompt = config.system_prompt
@@ -169,7 +203,12 @@ class ASRModel:
 
         dec_params = params["decoder"]
         if self.config.freeze_language_model:
-            dec_params = jax.lax.stop_gradient(dec_params)
+            # Freeze the base LM but let LoRA adapter leaves train
+            # (reference stage-2: use_lora + frozen base, asr_modeling.py:96-131).
+            dec_params = jax.tree_util.tree_map_with_path(
+                lambda path, x: x if _is_lora_path(path) else jax.lax.stop_gradient(x),
+                dec_params,
+            )
 
         text_embeds = self.decoder.apply(
             {"params": dec_params}, input_ids, method=Qwen3Decoder.embed
@@ -348,14 +387,19 @@ class ASRModel:
         (save_dir / "projector.msgpack").write_bytes(
             serialization.to_bytes(self.params["projector"])
         )
+        dec_base, dec_lora = split_lora(self.params["decoder"])
+        if dec_lora:
+            (save_dir / "adapter.msgpack").write_bytes(
+                serialization.to_bytes(dec_lora)
+            )
         if not self.config.freeze_language_model:
             (save_dir / "decoder.msgpack").write_bytes(
-                serialization.to_bytes(self.params["decoder"])
+                serialization.to_bytes(dec_base)
             )
         if save_towers:
             (save_dir / "towers.msgpack").write_bytes(
                 serialization.to_bytes(
-                    {"encoder": self.params["encoder"], "decoder": self.params["decoder"]}
+                    {"encoder": self.params["encoder"], "decoder": dec_base}
                 )
             )
         meta = {"framework": "tiny_audio_tpu", "format": "flax-msgpack"}
@@ -368,17 +412,23 @@ class ASRModel:
         if tokenizer is None and (path / "tokenizer_config.json").exists():
             tokenizer = HFTokenizerAdapter.from_pretrained(str(path))
         model = cls(config, tokenizer=tokenizer, **kwargs)
+        dec_base, dec_lora = split_lora(model.params["decoder"])
         if (path / "towers.msgpack").exists():
             towers = serialization.from_bytes(
-                {"encoder": model.params["encoder"], "decoder": model.params["decoder"]},
+                {"encoder": model.params["encoder"], "decoder": dec_base},
                 (path / "towers.msgpack").read_bytes(),
             )
             model.params["encoder"] = towers["encoder"]
-            model.params["decoder"] = towers["decoder"]
+            dec_base = towers["decoder"]
         if (path / "decoder.msgpack").exists():
-            model.params["decoder"] = serialization.from_bytes(
-                model.params["decoder"], (path / "decoder.msgpack").read_bytes()
+            dec_base = serialization.from_bytes(
+                dec_base, (path / "decoder.msgpack").read_bytes()
             )
+        if dec_lora and (path / "adapter.msgpack").exists():
+            dec_lora = serialization.from_bytes(
+                dec_lora, (path / "adapter.msgpack").read_bytes()
+            )
+        model.params["decoder"] = merge_lora(dec_base, dec_lora)
         if (path / "projector.msgpack").exists():
             model.params["projector"] = serialization.from_bytes(
                 model.params["projector"], (path / "projector.msgpack").read_bytes()

@@ -60,17 +60,37 @@ class Qwen3Block(nn.Module):
         cfg = self.cfg
         b, t, _ = x.shape
         hd = cfg.head_dim
-        dense = lambda feats, name: nn.Dense(  # noqa: E731
-            feats, use_bias=False, dtype=self.dtype,
-            param_dtype=self.param_dtype, name=name,
-        )
+
+        def dense(h, feats, name):
+            """Dense projection, plus a LoRA delta when enabled for this
+            target.  LoRA A/B live NEXT TO the base kernel (paths
+            ``{name}_lora_a``/``_b``) so base param paths — and therefore
+            the HF weight converter and the mesh sharding rules — are
+            unchanged whether LoRA is on or off."""
+            y = nn.Dense(
+                feats, use_bias=False, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=name,
+            )(h)
+            if cfg.lora_rank > 0 and name in cfg.lora_targets:
+                a = self.param(
+                    f"{name}_lora_a", nn.initializers.normal(0.02),
+                    (h.shape[-1], cfg.lora_rank), jnp.float32,
+                )
+                bmat = self.param(
+                    f"{name}_lora_b", nn.initializers.zeros,
+                    (cfg.lora_rank, feats), jnp.float32,
+                )
+                scale = cfg.lora_alpha / cfg.lora_rank
+                delta = (h.astype(jnp.float32) @ a) @ bmat * scale
+                y = y + delta.astype(y.dtype)
+            return y
 
         residual = x
         x = RMSNorm(cfg.rms_norm_eps, jnp.float32, name="input_layernorm")(x)
 
-        q = dense(cfg.num_heads * hd, "q_proj")(x).reshape(b, t, cfg.num_heads, hd)
-        k = dense(cfg.num_kv_heads * hd, "k_proj")(x).reshape(b, t, cfg.num_kv_heads, hd)
-        v = dense(cfg.num_kv_heads * hd, "v_proj")(x).reshape(b, t, cfg.num_kv_heads, hd)
+        q = dense(x, cfg.num_heads * hd, "q_proj").reshape(b, t, cfg.num_heads, hd)
+        k = dense(x, cfg.num_kv_heads * hd, "k_proj").reshape(b, t, cfg.num_kv_heads, hd)
+        v = dense(x, cfg.num_kv_heads * hd, "v_proj").reshape(b, t, cfg.num_kv_heads, hd)
 
         # Per-head QK RMSNorm (Qwen3 signature feature), then RoPE
         q_norm_w = self.param("q_norm", nn.initializers.ones, (hd,), jnp.float32)
@@ -101,14 +121,14 @@ class Qwen3Block(nn.Module):
         else:
             new_cache = None
             out = causal_self_attention(q, k, v, padding_mask)
-        x = dense(cfg.hidden_size, "o_proj")(out.reshape(b, t, -1))
+        x = dense(out.reshape(b, t, -1), cfg.hidden_size, "o_proj")
         x = residual + x
 
         residual = x
         x = RMSNorm(cfg.rms_norm_eps, jnp.float32, name="post_attention_layernorm")(x)
-        gate = dense(cfg.intermediate_size, "gate_proj")(x)
-        up = dense(cfg.intermediate_size, "up_proj")(x)
-        x = dense(cfg.hidden_size, "down_proj")(jax.nn.silu(gate) * up)
+        gate = dense(x, cfg.intermediate_size, "gate_proj")
+        up = dense(x, cfg.intermediate_size, "up_proj")
+        x = dense(jax.nn.silu(gate) * up, cfg.hidden_size, "down_proj")
         return residual + x, new_cache
 
 
