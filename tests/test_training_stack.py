@@ -1,0 +1,277 @@
+"""Training stack: config composition, augmentation DSP, dataset loader,
+trainer loop + checkpoint/resume (reference analogue: test suite tiers 1-2,
+SURVEY.md §4; mps_smoke end-to-end run)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tiny_audio_tpu.train.augmentation import (
+    AugmentationPipeline,
+    NoiseAugmentation,
+    RIRAugmentation,
+    _mix_at_snr,
+    synthetic_rir,
+)
+from tiny_audio_tpu.train.config_loader import deep_merge, load_config, set_dotted
+from tiny_audio_tpu.train.data import DatasetLoader, synthetic_dataset
+
+SR = 16000
+
+
+# ------------------------------------------------------------- config loader
+
+
+class TestConfigLoader:
+    def _write_tree(self, root):
+        (root / "training").mkdir()
+        (root / "data").mkdir()
+        (root / "experiments").mkdir()
+        (root / "config.yaml").write_text(
+            "defaults:\n  - data: base\n  - training: fast\n"
+            "model:\n  projector_type: mlp\n  lr: 1\n"
+        )
+        (root / "data" / "base.yaml").write_text("datasets:\n  - path: synthetic\n")
+        (root / "training" / "fast.yaml").write_text("max_steps: 5\nlr: 2\n")
+        (root / "experiments" / "exp.yaml").write_text(
+            "model:\n  projector_type: moe\ntraining:\n  max_steps: 99\n"
+        )
+
+    def test_group_composition(self, tmp_path):
+        self._write_tree(tmp_path)
+        cfg = load_config(tmp_path)
+        assert cfg["data"]["datasets"][0]["path"] == "synthetic"
+        assert cfg["training"]["max_steps"] == 5
+        assert cfg["model"]["projector_type"] == "mlp"
+
+    def test_experiment_overlay(self, tmp_path):
+        self._write_tree(tmp_path)
+        cfg = load_config(tmp_path, ["+experiments=exp"])
+        assert cfg["model"]["projector_type"] == "moe"
+        assert cfg["training"]["max_steps"] == 99
+        # non-overlaid keys survive
+        assert cfg["model"]["lr"] == 1
+
+    def test_dotted_override_typed(self, tmp_path):
+        self._write_tree(tmp_path)
+        cfg = load_config(
+            tmp_path,
+            ["training.max_steps=42", "model.x=3.5", "model.flag=true", "model.s=hi"],
+        )
+        assert cfg["training"]["max_steps"] == 42
+        assert cfg["model"]["x"] == 3.5
+        assert cfg["model"]["flag"] is True
+        assert cfg["model"]["s"] == "hi"
+
+    def test_deep_merge_no_mutation(self):
+        base = {"a": {"b": 1}}
+        out = deep_merge(base, {"a": {"c": 2}})
+        assert out == {"a": {"b": 1, "c": 2}} and base == {"a": {"b": 1}}
+
+    def test_set_dotted_creates_path(self):
+        cfg = {}
+        set_dotted(cfg, "a.b.c", 7)
+        assert cfg == {"a": {"b": {"c": 7}}}
+
+    def test_repo_configs_compose(self):
+        """The shipped configs/ tree composes without errors for every
+        experiment preset."""
+        from pathlib import Path
+
+        config_dir = Path(__file__).parent.parent / "configs"
+        for exp in (config_dir / "experiments").glob("*.yaml"):
+            cfg = load_config(config_dir, [f"+experiments={exp.stem}"])
+            assert "model" in cfg and "training" in cfg, exp.stem
+
+
+# --------------------------------------------------------------- augmentation
+
+
+class TestAugmentation:
+    def _speech(self, seconds=1.0, seed=0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(seconds * SR)) / SR
+        return (0.2 * np.sin(2 * np.pi * 150 * t)).astype(np.float32)
+
+    def test_mix_at_snr_power_ratio(self):
+        sig = self._speech()
+        noise = np.random.default_rng(1).standard_normal(len(sig)).astype(np.float32)
+        mixed = _mix_at_snr(sig, noise, 10.0)
+        added = mixed - sig
+        snr = 20 * np.log10(
+            np.sqrt((sig**2).mean()) / np.sqrt((added**2).mean())
+        )
+        assert snr == pytest.approx(10.0, abs=0.5)
+
+    def test_rir_changes_signal_preserves_shape(self):
+        aug = RIRAugmentation(p=1.0, seed=0)
+        x = self._speech()
+        y = aug(x)
+        assert y.shape == x.shape
+        assert not np.allclose(y, x)
+
+    def test_rir_p_zero_identity(self):
+        aug = RIRAugmentation(p=0.0, seed=0)
+        x = self._speech()
+        np.testing.assert_array_equal(aug(x), x)
+
+    def test_synthetic_rir_normalized(self):
+        rir = synthetic_rir(np.random.default_rng(0))
+        assert np.abs(rir).max() == pytest.approx(1.0)
+
+    def test_noise_chain_finite_and_bounded(self):
+        aug = NoiseAugmentation(seed=0)
+        for seed in range(3):
+            x = self._speech(seed=seed)
+            y = aug(x)
+            assert y.shape == x.shape
+            assert np.isfinite(y).all()
+            assert np.abs(y).max() <= 1.0 + 1e-6
+
+    def test_noise_empty_audio(self):
+        aug = NoiseAugmentation(seed=0)
+        assert aug(np.zeros(0, np.float32)).size == 0
+
+    def test_sample_noise_only_fallback(self):
+        aug = NoiseAugmentation(seed=0)
+        noise = aug.sample_noise_only(1.5)
+        assert noise.shape == (int(1.5 * SR),)
+        assert np.isfinite(noise).all()
+
+    def test_silence_injection_sets_flag(self):
+        pipe = AugmentationPipeline(
+            noise=NoiseAugmentation(seed=0), silence_injection_prob=1.0
+        )
+        out = pipe({"audio": {"array": self._speech()}, "text": "hello"})
+        assert out["text"] == "" and out["silence"] is True
+
+    def test_silence_rows_survive_collation(self):
+        """The latent reference bug we fixed: silence-injected rows must
+        reach the batch (reference drops them, train.py:296 vs :576)."""
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.train.collator import DataCollator
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        collator = DataCollator(
+            model.tokenizer, model.projector,
+            num_mel_bins=model.config.encoder.num_mel_bins,
+        )
+        pipe = AugmentationPipeline(
+            noise=NoiseAugmentation(seed=0), silence_injection_prob=1.0
+        )
+        rows = [
+            pipe({"audio": {"array": self._speech()}, "text": "hello"})
+            for _ in range(2)
+        ]
+        batch = collator(rows)
+        assert batch["input_ids"].shape[0] == 2
+
+
+# ----------------------------------------------------------------- data load
+
+
+class TestDatasetLoader:
+    def test_synthetic_rows_shape(self):
+        rows = synthetic_dataset(8, seed=0)
+        assert len(rows) == 8
+        assert all(r["text"] for r in rows)
+        assert all(r["audio"]["array"].dtype == np.float32 for r in rows)
+
+    def test_eval_split_fraction(self):
+        loader = DatasetLoader(
+            {"datasets": [{"path": "synthetic", "num_samples": 40}],
+             "eval_split_fraction": 0.25}
+        )
+        train, eval_rows = loader.load()
+        assert len(train) == 30 and len(eval_rows) == 10
+
+    def test_target_samples_cap_and_repeat(self):
+        loader = DatasetLoader(
+            {"datasets": [
+                {"path": "synthetic", "num_samples": 20, "target_samples": 5},
+                {"path": "synthetic", "num_samples": 4, "target_samples": 10},
+            ]}
+        )
+        train, _ = loader.load()
+        assert len(train) == 15
+
+    def test_tedlium_filter(self):
+        loader = DatasetLoader({})
+        rows = [
+            {"audio": {"array": np.zeros(10)}, "text": "keep me"},
+            {"audio": {"array": np.zeros(10)}, "text": "ignore_time_segment_in_scoring"},
+        ]
+        spec_rows = loader._load_one.__wrapped__ if hasattr(loader._load_one, "__wrapped__") else None
+        # go through the public path with a stub
+        from tiny_audio_tpu.train.data import DatasetSpec
+
+        loader._load_hf = lambda spec: rows  # type: ignore[assignment]
+        out = loader._load_one(DatasetSpec(path="stub"))
+        assert [r["text"] for r in out] == ["keep me"]
+
+
+# -------------------------------------------------------------- trainer loop
+
+
+@pytest.mark.slow
+class TestTrainerLoop:
+    def _setup(self, tmp_path, max_steps=4, **train_kw):
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.train.collator import DataCollator
+        from tiny_audio_tpu.train.optim import OptimizerConfig
+        from tiny_audio_tpu.train.trainer import Trainer, TrainingConfig
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        collator = DataCollator(
+            model.tokenizer, model.projector,
+            num_mel_bins=model.config.encoder.num_mel_bins,
+        )
+        rows = synthetic_dataset(12, seed=0, min_s=0.3, max_s=0.8)
+        config = TrainingConfig(
+            output_dir=str(tmp_path / "run"),
+            max_steps=max_steps,
+            per_device_batch_size=1,
+            logging_steps=2,
+            save_steps=max_steps,
+            eval_steps=0,
+            optimizer=OptimizerConfig(
+                total_steps=max_steps, warmup_steps=0,
+                lr_scheduler_type="constant",
+            ),
+            **train_kw,
+        )
+        trainer = Trainer(
+            model, config, rows, collator, eval_dataset=rows[:4]
+        )
+        return trainer
+
+    def test_loss_decreases_and_artifacts(self, tmp_path):
+        trainer = self._setup(tmp_path, max_steps=6)
+        result = trainer.train()
+        assert result["final_step"] == 6
+        assert np.isfinite(result["eval_loss"])
+        metrics = [
+            json.loads(line)
+            for line in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
+        ]
+        assert metrics[0]["loss"] > metrics[-1].get("loss", metrics[0]["loss"]) - 5
+        assert (tmp_path / "run" / "model" / "projector.msgpack").exists()
+
+    def test_resume_continues(self, tmp_path):
+        trainer = self._setup(tmp_path, max_steps=4)
+        trainer.train()
+        trainer2 = self._setup(
+            tmp_path, max_steps=6, resume_from_checkpoint=True
+        )
+        result = trainer2.train()
+        assert result["final_step"] == 6
+
+    def test_grad_accumulation_runs(self, tmp_path):
+        trainer = self._setup(
+            tmp_path, max_steps=4, gradient_accumulation_steps=2
+        )
+        result = trainer.train()
+        assert result["final_step"] == 4

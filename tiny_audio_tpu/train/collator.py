@@ -136,7 +136,10 @@ class DataCollator:
                     continue
                 if not np.isfinite(audio).all():
                     continue
-                if not normalize_label(f.get("text") or ""):
+                # Silence-injected rows legitimately carry an empty label
+                # (augmentation.py sets the flag); everything else with an
+                # empty normalized label is an annotation-marker-only row.
+                if not normalize_label(f.get("text") or "") and not f.get("silence"):
                     continue
                 if audio.size / self.sample_rate > MAX_AUDIO_SECONDS:
                     continue

@@ -1,0 +1,172 @@
+"""Dataset loading: multi-corpus mixing, resampling caps, synthetic smoke data.
+
+Re-designed equivalent of the reference ``DatasetLoader``
+(``/root/reference/scripts/train.py:100-237``): per-dataset column renaming,
+16 kHz audio casting, ``target_samples`` cap/repeat resampling, the
+TEDLIUM/EdAcc ``ignore_time_segment_in_scoring`` filter, concat + shuffle,
+and an eval-sample cap.  HF ``datasets`` does the heavy lifting; everything
+degrades gracefully offline (this environment has zero egress), and
+:func:`synthetic_dataset` provides the hermetic smoke corpus (the
+reference's ``librispeech_dummy`` analogue, configs/data/librispeech_dummy).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+SAMPLE_RATE = 16000
+
+
+@dataclass
+class DatasetSpec:
+    """One entry of a data-mix config (reference configs/data/*.yaml)."""
+
+    path: str  # HF hub id, local dataset dir, or "synthetic"
+    name: Optional[str] = None  # HF config name
+    split: str = "train"
+    audio_column: str = "audio"
+    text_column: str = "text"
+    task: Optional[str] = None  # None/"asr" | "sift"
+    target_samples: Optional[int] = None
+    num_samples: int = 128  # synthetic only
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DatasetSpec":
+        known = {f.name for f in cls.__dataclass_fields__.values()}  # type: ignore[attr-defined]
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+def synthetic_dataset(
+    n: int = 128,
+    seed: int = 0,
+    min_s: float = 0.5,
+    max_s: float = 3.0,
+    vocab: Optional[list[str]] = None,
+) -> list[dict]:
+    """Hermetic smoke corpus: harmonic "speech-like" clips + word labels."""
+    rng = np.random.default_rng(seed)
+    vocab = vocab or [
+        "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+        "hello", "world", "speech", "audio", "model", "test",
+    ]
+    rows = []
+    for _ in range(n):
+        dur = rng.uniform(min_s, max_s)
+        t = np.arange(int(dur * SAMPLE_RATE)) / SAMPLE_RATE
+        f0 = rng.uniform(90, 250)
+        audio = sum(
+            rng.uniform(0.1, 0.3) / (h + 1) * np.sin(2 * np.pi * f0 * (h + 1) * t)
+            for h in range(4)
+        )
+        audio = (audio * (0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t))).astype(np.float32)
+        audio += 0.005 * rng.standard_normal(len(t)).astype(np.float32)
+        words = rng.choice(vocab, size=rng.integers(2, 8))
+        rows.append(
+            {
+                "audio": {"array": audio, "sampling_rate": SAMPLE_RATE},
+                "text": " ".join(words),
+            }
+        )
+    return rows
+
+
+def _is_tedlium_ignored(text: str) -> bool:
+    return "ignore_time_segment_in_scoring" in (text or "")
+
+
+def _resample_to_target(rows: list, target: int, seed: int) -> list:
+    """Cap or repeat-pad a corpus to ``target`` samples
+    (reference train.py:154-176)."""
+    rng = np.random.default_rng(seed)
+    n = len(rows)
+    if n == 0 or target is None or n == target:
+        return list(rows)
+    if n > target:
+        idx = rng.choice(n, size=target, replace=False)
+    else:
+        idx = np.concatenate([np.tile(np.arange(n), target // n),
+                              rng.choice(n, size=target % n, replace=False)])
+    return [rows[int(i)] for i in idx]
+
+
+class DatasetLoader:
+    """Load + mix the corpora described by a data config dict."""
+
+    def __init__(self, data_cfg: dict, seed: int = 0):
+        self.cfg = data_cfg or {}
+        self.seed = seed
+
+    def _load_one(self, spec: DatasetSpec) -> list[dict]:
+        if spec.path == "synthetic":
+            rows = synthetic_dataset(spec.num_samples, seed=self.seed)
+        else:
+            rows = self._load_hf(spec)
+        out = []
+        for r in rows:
+            text = r.get(spec.text_column)
+            if _is_tedlium_ignored(text):
+                continue
+            row = {
+                "audio": r.get(spec.audio_column),
+                "text": text,
+            }
+            if spec.task:
+                row["task"] = spec.task
+                if spec.task == "sift":
+                    row["sift_response"] = r.get("sift_response", text)
+            out.append(row)
+        if spec.target_samples:
+            out = _resample_to_target(out, int(spec.target_samples), self.seed)
+        return out
+
+    def _load_hf(self, spec: DatasetSpec) -> Any:
+        import datasets as hfd
+
+        try:
+            from pathlib import Path
+
+            if Path(spec.path).is_dir():
+                ds = hfd.load_from_disk(spec.path)
+                if isinstance(ds, hfd.DatasetDict):
+                    ds = ds[spec.split]
+            else:
+                ds = hfd.load_dataset(spec.path, spec.name, split=spec.split)
+        except Exception as e:
+            raise RuntimeError(
+                f"could not load dataset {spec.path!r} "
+                f"(offline? use path: synthetic for smoke runs): {e}"
+            ) from e
+        try:
+            ds = ds.cast_column(spec.audio_column, hfd.Audio(sampling_rate=SAMPLE_RATE))
+        except Exception:
+            pass
+        return ds
+
+    def load(self) -> tuple[list[dict], Optional[list[dict]]]:
+        """Returns (train_rows, eval_rows-or-None)."""
+        rng = np.random.default_rng(self.seed)
+        specs = [DatasetSpec.from_dict(d) for d in self.cfg.get("datasets", [])]
+        if not specs:
+            specs = [DatasetSpec(path="synthetic")]
+        train: list[dict] = []
+        for spec in specs:
+            train.extend(self._load_one(spec))
+        order = rng.permutation(len(train))
+        train = [train[int(i)] for i in order]
+
+        eval_rows: Optional[list[dict]] = None
+        eval_cfg = self.cfg.get("eval")
+        if eval_cfg:
+            spec = DatasetSpec.from_dict(eval_cfg)
+            eval_rows = self._load_one(spec)
+            cap = eval_cfg.get("max_samples")
+            if cap:
+                eval_rows = eval_rows[: int(cap)]
+        elif self.cfg.get("eval_split_fraction"):
+            frac = float(self.cfg["eval_split_fraction"])
+            n_eval = max(int(len(train) * frac), 1)
+            eval_rows, train = train[:n_eval], train[n_eval:]
+        return train, eval_rows
