@@ -1,0 +1,392 @@
+"""Eval harness: registry, base loop, DER, LCS alignment, MCQ matching,
+classification keyword spotting, results writers, CLI dispatch, analysis
+parsers, debug tools, hub staging."""
+
+import numpy as np
+import pytest
+
+from tiny_audio_tpu.eval.datasets import (
+    ALL_GROUPS,
+    DATASET_REGISTRY,
+    load_eval_dataset,
+    validate_datasets,
+)
+from tiny_audio_tpu.eval.der import diarization_error_rate
+from tiny_audio_tpu.eval.evaluators.alignment import AlignmentEvaluator, lcs_match
+from tiny_audio_tpu.eval.evaluators.base import Evaluator, should_skip_reference
+from tiny_audio_tpu.eval.evaluators.classification import (
+    ClassificationEvaluator,
+    canonicalize,
+    extract_classes,
+)
+from tiny_audio_tpu.eval.evaluators.diarization import DiarizationEvaluator
+from tiny_audio_tpu.eval.evaluators.mcq import MCQEvaluator, build_mcq_prompt, match_choice
+
+
+class TestRegistry:
+    def test_registry_has_all_types(self):
+        types = {d.dataset_type for d in DATASET_REGISTRY.values()}
+        assert types == {"asr", "diarization", "alignment", "mcq", "classification"}
+        assert len(DATASET_REGISTRY) >= 25
+
+    def test_validate_expands_all(self):
+        names = validate_datasets(["all"])
+        assert names == ALL_GROUPS["all"]
+
+    def test_validate_unknown_raises(self):
+        with pytest.raises(ValueError, match="unknown dataset"):
+            validate_datasets(["nope"])
+
+    def test_synthetic_rows(self):
+        rows = load_eval_dataset("synthetic", num_samples=4)
+        assert len(rows) == 4 and rows[0]["text"]
+
+    def test_synthetic_alignment_rows_have_words(self):
+        rows = load_eval_dataset("synthetic-alignment", num_samples=2)
+        assert rows[0]["words"][0]["end"] > rows[0]["words"][0]["start"]
+
+
+class _EchoEvaluator(Evaluator):
+    """Returns the reference text (WER 0) or a fixed error."""
+
+    def __init__(self, fail_on=frozenset()):
+        super().__init__("echo")
+        self.fail_on = fail_on
+
+    def transcribe(self, audio, sample):
+        if sample["text"] in self.fail_on:
+            raise RuntimeError("boom")
+        return sample["text"]
+
+
+class TestBaseEvaluator:
+    def _rows(self, texts):
+        return [{"audio": {"array": np.zeros(160)}, "text": t} for t in texts]
+
+    def test_perfect_wer(self):
+        results, metrics = _EchoEvaluator().evaluate(self._rows(["a b c", "d e"]))
+        assert metrics["corpus_wer"] == 0.0 and metrics["num_samples"] == 2
+
+    def test_skip_markers(self):
+        rows = self._rows(["keep", "ignore_time_segment_in_scoring", ""])
+        results, metrics = _EchoEvaluator().evaluate(rows)
+        assert metrics["num_samples"] == 1
+
+    def test_errors_counted_not_fatal(self):
+        rows = self._rows(["good", "bad"])
+        results, metrics = _EchoEvaluator(fail_on={"bad"}).evaluate(rows)
+        assert metrics["errors"] == 1 and metrics["num_samples"] == 2
+
+    def test_parallel_matches_sequential(self):
+        rows = self._rows([f"sample {i}" for i in range(8)])
+        _, seq = _EchoEvaluator().evaluate(rows)
+        ev = _EchoEvaluator()
+        ev.num_workers = 4
+        _, par = ev.evaluate(rows)
+        assert seq["corpus_wer"] == par["corpus_wer"]
+        assert seq["num_samples"] == par["num_samples"]
+
+    def test_should_skip(self):
+        assert should_skip_reference("")
+        assert should_skip_reference("has <inaudible> part")
+        assert not should_skip_reference("fine")
+
+
+class TestDER:
+    REF = [
+        {"speaker": "A", "start": 0.0, "end": 5.0},
+        {"speaker": "B", "start": 5.0, "end": 10.0},
+    ]
+
+    def test_perfect(self):
+        hyp = [
+            {"speaker": "X", "start": 0.0, "end": 5.0},
+            {"speaker": "Y", "start": 5.0, "end": 10.0},
+        ]
+        m = diarization_error_rate(self.REF, hyp)
+        assert m["der"] == 0.0
+
+    def test_label_permutation_invariant(self):
+        hyp = [
+            {"speaker": "Y", "start": 0.0, "end": 5.0},
+            {"speaker": "X", "start": 5.0, "end": 10.0},
+        ]
+        assert diarization_error_rate(self.REF, hyp)["der"] == 0.0
+
+    def test_missed_speech(self):
+        hyp = [{"speaker": "X", "start": 0.0, "end": 5.0}]
+        m = diarization_error_rate(self.REF, hyp, collar=0.0)
+        assert m["missed"] == pytest.approx(5.0, abs=0.05)
+        assert m["der"] == pytest.approx(0.5, abs=0.01)
+
+    def test_confusion_single_cluster(self):
+        hyp = [{"speaker": "X", "start": 0.0, "end": 10.0}]
+        m = diarization_error_rate(self.REF, hyp, collar=0.0)
+        assert m["confusion"] == pytest.approx(5.0, abs=0.05)
+
+    def test_collar_forgives_boundary_jitter(self):
+        hyp = [
+            {"speaker": "X", "start": 0.0, "end": 5.2},
+            {"speaker": "Y", "start": 5.2, "end": 10.0},
+        ]
+        assert diarization_error_rate(self.REF, hyp, collar=0.25)["der"] == 0.0
+        assert diarization_error_rate(self.REF, hyp, collar=0.0)["der"] > 0.0
+
+    def test_empty_reference(self):
+        m = diarization_error_rate([], [{"speaker": "X", "start": 0, "end": 1}])
+        assert m["der"] == float("inf")
+
+    def test_evaluator_on_synthetic(self):
+        rows = load_eval_dataset("synthetic-diarization", num_samples=2)
+        ev = DiarizationEvaluator(
+            diarize_fn=lambda audio, sample_rate=16000: [
+                {"speaker": "S0", "start": 0.0, "end": len(audio) / sample_rate}
+            ]
+        )
+        results, metrics = ev.evaluate(rows, verbose=False)
+        assert metrics["num_samples"] == 2
+        assert np.isfinite(metrics["corpus_der"])
+
+
+class TestAlignment:
+    def test_lcs_basic(self):
+        pairs = lcs_match(["a", "x", "b", "c"], ["a", "b", "c"])
+        assert pairs == [(0, 0), (2, 1), (3, 2)]
+
+    def test_median_error(self):
+        ref = [{"word": "hi", "start": 1.0, "end": 2.0}]
+        pred = [{"word": "hi", "start": 1.1, "end": 2.05}]
+        ev = AlignmentEvaluator(align_fn=None)
+        deltas = ev.sample_deltas(pred, ref)
+        assert deltas == pytest.approx([0.1, 0.05])
+
+    def test_evaluator_perfect_alignment(self):
+        rows = load_eval_dataset("synthetic-alignment", num_samples=2)
+        ev = AlignmentEvaluator(align_fn=lambda audio, sample: sample["words"])
+        _, metrics = ev.evaluate(rows, verbose=False)
+        assert metrics["median_abs_error_s"] == 0.0
+        assert metrics["match_rate"] == 1.0
+
+
+class TestMCQ:
+    CHOICES = ["a dog barking", "piano music", "rain falling", "a car engine"]
+
+    def test_prompt_contains_choices(self):
+        p = build_mcq_prompt("What do you hear?", self.CHOICES)
+        assert "(A) a dog barking" in p and "A/B/C/D" in p
+
+    @pytest.mark.parametrize(
+        "pred,expected",
+        [
+            ("piano music", 1),
+            ("(C)", 2),
+            ("B", 1),
+            ("The answer is D.", 3),
+            ("I think it's rain falling outside", 2),
+            ("no idea", None),
+        ],
+    )
+    def test_match_choice(self, pred, expected):
+        assert match_choice(pred, self.CHOICES) == expected
+
+    def test_evaluator_accuracy(self):
+        rows = [
+            {"audio": {}, "question": "q", "choices": self.CHOICES,
+             "answer": "piano music", "task": "music"},
+            {"audio": {}, "question": "q", "choices": self.CHOICES,
+             "answer": "rain falling", "task": "env"},
+        ]
+        ev = MCQEvaluator(lambda audio, prompt: "(B)")
+        _, metrics = ev.evaluate(rows, verbose=False)
+        assert metrics["accuracy"] == 50.0
+        assert metrics["accuracy_music"] == 100.0
+
+
+class TestClassification:
+    def test_canonicalize_synonyms(self):
+        assert canonicalize("joy", "emotion") == "happy"
+        assert canonicalize("man", "gender") == "male"
+
+    def test_extract_classes(self):
+        assert extract_classes("the speaker sounds angry and sad", "emotion") == {
+            "angry", "sad",
+        }
+
+    def test_evaluator(self):
+        rows = [
+            {"audio": {}, "label": "happiness"},
+            {"audio": {}, "label": "sad"},
+        ]
+        ev = ClassificationEvaluator(
+            lambda audio, prompt: "the speaker sounds happy", task="emotion"
+        )
+        _, metrics = ev.evaluate(rows, verbose=False)
+        assert metrics["accuracy"] == 50.0
+
+
+class TestResultsIO:
+    def test_writer_parser_roundtrip(self, tmp_path):
+        from tiny_audio_tpu.analysis import parse_results_file
+        from tiny_audio_tpu.eval.cli import save_asr_results
+        from tiny_audio_tpu.eval.evaluators.base import EvalResult
+
+        results = [
+            EvalResult("hello world", "hello word", 50.0),
+            EvalResult("good", "good", 0.0),
+        ]
+        out = save_asr_results("m/x", "ds", results,
+                               {"corpus_wer": 25.0}, str(tmp_path))
+        rows = parse_results_file(out / "results.txt")
+        assert len(rows) == 2
+        assert rows[0]["wer"] == 50.0
+        assert rows[0]["ground_truth"] == "hello world"
+
+    def test_high_wer_filter(self, tmp_path):
+        from tiny_audio_tpu.analysis import high_wer
+        from tiny_audio_tpu.eval.cli import save_asr_results
+        from tiny_audio_tpu.eval.evaluators.base import EvalResult
+
+        out = save_asr_results(
+            "m", "d",
+            [EvalResult("a", "b", 100.0), EvalResult("c", "c", 0.0)],
+            {}, str(tmp_path),
+        )
+        rows = high_wer(out / "results.txt", threshold=50.0)
+        assert len(rows) == 1 and rows[0]["wer"] == 100.0
+
+    def test_entity_extraction(self):
+        from tiny_audio_tpu.analysis import extract_entities
+
+        ents = extract_entities("he paid twenty dollars on friday at 3:00")
+        labels = {lb for lb, _ in ents}
+        assert {"CARDINAL", "MONEY", "DATE", "TIME"} <= labels
+
+    def test_compare_models(self, tmp_path):
+        from tiny_audio_tpu.analysis import compare_models
+        from tiny_audio_tpu.eval.cli import save_asr_results
+        from tiny_audio_tpu.eval.evaluators.base import EvalResult
+
+        a = save_asr_results("a", "d", [EvalResult("x y", "x y", 0.0)], {},
+                             str(tmp_path / "a"))
+        b = save_asr_results("b", "d", [EvalResult("x y", "x z", 50.0)], {},
+                             str(tmp_path / "b"))
+        cmp = compare_models(a / "results.txt", b / "results.txt")
+        assert cmp["num_common"] == 1
+        assert cmp["rows"][0]["delta"] == -50.0
+
+
+@pytest.mark.slow
+class TestLocalEvalEndToEnd:
+    def test_local_evaluator_synthetic(self, tmp_path):
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.eval.cli import run_eval
+        from tiny_audio_tpu.models.asr import ASRModel
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        model.save_pretrained(tmp_path / "ckpt")
+        metrics = run_eval(
+            str(tmp_path / "ckpt"), "synthetic", num_samples=2,
+            output_dir=str(tmp_path / "out"),
+        )
+        assert metrics["num_samples"] == 2
+        assert np.isfinite(metrics["corpus_wer"])
+
+    def test_cli_parses(self):
+        from tiny_audio_tpu.cli import build_parser
+
+        parser = build_parser()
+        args = parser.parse_args(
+            ["eval", "-m", "x", "-d", "synthetic", "-n", "2"]
+        )
+        assert args.model == "x" and args.datasets == ["synthetic"]
+        args = parser.parse_args(["debug", "check-moe", "-m", "x"])
+        assert args.debug_cmd == "check-moe"
+        args = parser.parse_args(["push", "-m", "ckpt"])
+        assert args.model == "ckpt"
+
+
+class TestDebugTools:
+    @pytest.fixture(scope="class")
+    def moe_model(self):
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+
+        return ASRModel(
+            tiny_test_config(projector_type="moe", model_dtype="float32"), seed=0
+        )
+
+    def test_router_health(self, moe_model):
+        from tiny_audio_tpu.debug import check_router_health
+
+        report = check_router_health(moe_model, seconds=1.0)
+        assert 0.0 <= report["normalized_entropy"] <= 1.0
+        assert len(report["per_expert_usage"]) == moe_model.config.num_experts
+        assert isinstance(report["collapsed"], bool)
+
+    def test_router_health_rejects_mlp(self):
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.debug import check_router_health
+        from tiny_audio_tpu.models.asr import ASRModel
+
+        m = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        with pytest.raises(ValueError):
+            check_router_health(m)
+
+    def test_gradient_flow(self, moe_model):
+        from tiny_audio_tpu.debug import check_gradient_flow
+
+        report = check_gradient_flow(moe_model)
+        assert report["ok"], report["problems"]
+        assert report["module_grad_norms"]["projector"] > 0
+
+    def test_analyze_weights(self, moe_model):
+        from tiny_audio_tpu.debug import analyze_weights
+
+        report = analyze_weights(moe_model.params)
+        assert set(report) == {"encoder", "decoder", "projector"}
+        assert report["decoder"]["nonfinite"] == 0
+
+    def test_analyze_lora(self):
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.debug import analyze_lora
+        from tiny_audio_tpu.models.asr import ASRModel
+
+        m = ASRModel(
+            tiny_test_config(use_lora=True, lora_rank=4, model_dtype="float32"),
+            seed=0,
+        )
+        report = analyze_lora(m.params)
+        assert report and all(v["b_is_zero"] for v in report.values())
+
+    def test_compare_to_base(self, moe_model):
+        from tiny_audio_tpu.debug import compare_to_base
+
+        import jax
+
+        params_b = jax.tree_util.tree_map(lambda x: x, moe_model.params)
+        params_b["projector"]["router"]["kernel"] = (
+            params_b["projector"]["router"]["kernel"] + 1.0
+        )
+        report = compare_to_base(moe_model.params, params_b)
+        assert any("router" in k for k in report)
+
+
+class TestHubStaging:
+    def test_stage_artifact_self_contained(self, tmp_path):
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.hub import stage_artifact
+        from tiny_audio_tpu.models.asr import ASRModel
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        model.save_pretrained(tmp_path)
+        out = stage_artifact(tmp_path)
+        assert (out / "tiny_audio_tpu" / "models" / "asr.py").exists()
+        assert (out / "tiny_audio_tpu" / "__init__.py").exists()
+        assert (out / ".gitattributes").exists()
+        assert (out / "README.md").exists()
+
+    def test_stage_requires_checkpoint(self, tmp_path):
+        from tiny_audio_tpu.hub import stage_artifact
+
+        with pytest.raises(FileNotFoundError):
+            stage_artifact(tmp_path)

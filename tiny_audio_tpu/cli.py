@@ -1,0 +1,98 @@
+"""Unified ``ta`` CLI: eval / train / analysis / debug / push / demo / dev.
+
+Re-designed equivalent of the reference typer app
+(``/root/reference/scripts/cli.py:24-31``) on argparse (typer is not in this
+environment).  Run as ``python -m tiny_audio_tpu.cli <command> ...`` or via
+the ``ta`` console script (pyproject).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="ta", description="tiny-audio-tpu: TPU-native speech-LLM toolkit"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    from tiny_audio_tpu.analysis import add_analysis_parser
+    from tiny_audio_tpu.eval.cli import add_eval_parser
+
+    add_eval_parser(sub)
+    add_analysis_parser(sub)
+
+    # train: pass-through to scripts/train.py-style composition
+    tr = sub.add_parser("train", help="Train (hydra-style overrides)")
+    tr.add_argument("overrides", nargs="*",
+                    help="e.g. +experiments=smoke training.max_steps=20")
+    tr.set_defaults(func=_cmd_train)
+
+    from tiny_audio_tpu.debug import add_debug_parser
+
+    add_debug_parser(sub)
+
+    from tiny_audio_tpu.hub import add_push_parser
+
+    add_push_parser(sub)
+
+    demo = sub.add_parser("demo", help="Launch the Gradio demo")
+    demo.add_argument("-m", "--model", required=True)
+    demo.add_argument("--share", action="store_true")
+    demo.set_defaults(func=_cmd_demo)
+
+    dev = sub.add_parser("dev", help="Developer tasks")
+    dev.add_argument("task", choices=["test", "lint", "coverage"])
+    dev.set_defaults(func=_cmd_dev)
+
+    return parser
+
+
+def _cmd_train(args) -> int:
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo_root / "scripts"))
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ta_train", repo_root / "scripts" / "train.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(args.overrides)
+    return 0
+
+
+def _cmd_demo(args) -> int:
+    try:
+        from demo.app import create_demo
+    except ImportError as e:
+        print(f"demo requires gradio: {e}", file=sys.stderr)
+        return 1
+    create_demo(args.model).launch(share=args.share)
+    return 0
+
+
+def _cmd_dev(args) -> int:
+    import subprocess
+
+    cmds = {
+        "test": [sys.executable, "-m", "pytest", "tests/", "-x", "-q"],
+        "lint": [sys.executable, "-m", "ruff", "check", "tiny_audio_tpu", "tests"],
+        "coverage": [sys.executable, "-m", "pytest", "tests/", "-q",
+                     "--cov=tiny_audio_tpu"],
+    }
+    return subprocess.call(cmds[args.task])
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

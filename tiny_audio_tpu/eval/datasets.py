@@ -1,0 +1,187 @@
+"""Evaluation dataset registry.
+
+Re-designed equivalent of ``/root/reference/scripts/eval/datasets.py:32-264``:
+25+ :class:`DatasetConfig` entries spanning ASR, diarization, alignment, MCQ
+and classification benchmarks, loaded streaming with 16 kHz audio casting.
+This environment has zero egress, so :func:`load_eval_dataset` also accepts
+local ``load_from_disk`` paths and a ``synthetic`` smoke source.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+SAMPLE_RATE = 16000
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    name: str
+    path: str
+    config: Optional[str] = None
+    split: str = "test"
+    audio_column: str = "audio"
+    text_column: str = "text"
+    dataset_type: str = "asr"  # asr | diarization | alignment | mcq | classification
+    extra: dict = field(default_factory=dict)
+
+
+_ASR = [
+    DatasetConfig("loquacious", "speechbrain/LoquaciousSet", "small", "test"),
+    DatasetConfig("loquacious-small", "speechbrain/LoquaciousSet", "small", "test"),
+    DatasetConfig("earnings22", "distil-whisper/earnings22", "chunked", "test",
+                  text_column="transcription"),
+    DatasetConfig("ami", "edinburghcstr/ami", "ihm", "test"),
+    DatasetConfig("ami-sdm", "edinburghcstr/ami", "sdm", "test"),
+    DatasetConfig("gigaspeech", "speechcolab/gigaspeech", "test", "test"),
+    DatasetConfig("spgispeech", "kensho/spgispeech", "test", "test",
+                  text_column="transcript"),
+    DatasetConfig("tedlium", "LIUM/tedlium", "release3", "test"),
+    DatasetConfig("commonvoice", "mozilla-foundation/common_voice_17_0", "en",
+                  "test", text_column="sentence"),
+    DatasetConfig("peoples", "MLCommons/peoples_speech", "clean", "test"),
+    DatasetConfig("voxpopuli", "facebook/voxpopuli", "en", "test",
+                  text_column="normalized_text"),
+    DatasetConfig("switchboard", "hf-internal/switchboard", None, "test"),
+    DatasetConfig("librispeech", "openslr/librispeech_asr", "clean", "test"),
+    DatasetConfig("librispeech-other", "openslr/librispeech_asr", "other", "test"),
+    DatasetConfig("expresso", "ylacombe/expresso", None, "train"),
+    DatasetConfig("synthetic", "synthetic", None, "test"),
+]
+
+_DIARIZATION = [
+    DatasetConfig(
+        "callhome", "talkbank/callhome", "eng", "data",
+        dataset_type="diarization",
+        extra={"speakers_column": "speakers", "timestamps_column": "timestamps"},
+    ),
+    DatasetConfig("synthetic-diarization", "synthetic", None, "test",
+                  dataset_type="diarization"),
+]
+
+_ALIGNMENT = [
+    DatasetConfig(
+        "librispeech-alignments", "gilkeyio/librispeech-alignments", None,
+        "test_clean", dataset_type="alignment",
+        extra={"words_column": "words"},
+    ),
+    DatasetConfig("synthetic-alignment", "synthetic", None, "test",
+                  dataset_type="alignment"),
+]
+
+_MCQ = [
+    DatasetConfig(
+        "mmau", "apple/mmau", "test-mini", "test", dataset_type="mcq",
+        text_column="question",
+        extra={"choices_column": "choices", "answer_column": "answer",
+               "category_column": "task"},
+    ),
+]
+
+_CLASSIFICATION = [
+    DatasetConfig("iemocap-emotion", "Zahra99/IEMOCAP_Audio", None, "train",
+                  dataset_type="classification",
+                  extra={"task": "emotion", "label_column": "label"}),
+    DatasetConfig("voxceleb-gender", "ProgramComputer/voxceleb", None, "test",
+                  dataset_type="classification",
+                  extra={"task": "gender", "label_column": "gender"}),
+    DatasetConfig("commonvoice-gender", "mozilla-foundation/common_voice_17_0",
+                  "en", "test", dataset_type="classification",
+                  extra={"task": "gender", "label_column": "gender"}),
+    DatasetConfig("commonvoice-age", "mozilla-foundation/common_voice_17_0",
+                  "en", "test", dataset_type="classification",
+                  extra={"task": "age", "label_column": "age"}),
+    DatasetConfig("commonvoice-accent", "mozilla-foundation/common_voice_17_0",
+                  "en", "test", dataset_type="classification",
+                  extra={"task": "accent", "label_column": "accents"}),
+    DatasetConfig("sift-rate", "mazesmazes/sift-audio", None, "train",
+                  dataset_type="classification",
+                  extra={"task": "rate", "label_column": "speaking_rate"}),
+    DatasetConfig("expresso-style", "ylacombe/expresso", None, "train",
+                  dataset_type="classification",
+                  extra={"task": "style", "label_column": "style"}),
+]
+
+DATASET_REGISTRY: dict[str, DatasetConfig] = {
+    d.name: d for d in (_ASR + _DIARIZATION + _ALIGNMENT + _MCQ + _CLASSIFICATION)
+}
+
+# "all" expansion groups (reference cli.py:419-442)
+ALL_GROUPS = {
+    "all": ["loquacious-small", "librispeech", "ami", "tedlium"],
+    "all-full": [d.name for d in _ASR if d.path != "synthetic"],
+}
+
+
+def _synthetic_eval_rows(cfg: DatasetConfig, n: int = 16, seed: int = 0):
+    from tiny_audio_tpu.train.data import synthetic_dataset
+
+    rows = synthetic_dataset(n, seed=seed)
+    if cfg.dataset_type == "alignment":
+        for r in rows:
+            dur = len(r["audio"]["array"]) / SAMPLE_RATE
+            words = r["text"].split()
+            edges = [dur * i / len(words) for i in range(len(words) + 1)]
+            r["words"] = [
+                {"word": w, "start": edges[i], "end": edges[i + 1]}
+                for i, w in enumerate(words)
+            ]
+    elif cfg.dataset_type == "diarization":
+        for r in rows:
+            dur = len(r["audio"]["array"]) / SAMPLE_RATE
+            r["speakers"] = [
+                {"speaker": "A", "start": 0.0, "end": dur / 2},
+                {"speaker": "B", "start": dur / 2, "end": dur},
+            ]
+    return rows
+
+
+def load_eval_dataset(
+    name_or_cfg, num_samples: Optional[int] = None, streaming: bool = True,
+    seed: int = 0,
+) -> Any:
+    """Resolve a registry name (or DatasetConfig) to an iterable of rows."""
+    cfg = (
+        name_or_cfg
+        if isinstance(name_or_cfg, DatasetConfig)
+        else DATASET_REGISTRY[name_or_cfg]
+    )
+    if cfg.path == "synthetic":
+        rows = _synthetic_eval_rows(cfg, n=num_samples or 16, seed=seed)
+        return rows
+
+    import datasets as hfd
+    from pathlib import Path
+
+    if Path(cfg.path).is_dir():
+        ds = hfd.load_from_disk(cfg.path)
+        if isinstance(ds, hfd.DatasetDict):
+            ds = ds[cfg.split]
+    else:
+        ds = hfd.load_dataset(
+            cfg.path, cfg.config, split=cfg.split, streaming=streaming
+        )
+    try:
+        ds = ds.cast_column(cfg.audio_column, hfd.Audio(sampling_rate=SAMPLE_RATE))
+    except Exception:
+        pass
+    if num_samples:
+        ds = ds.take(num_samples) if hasattr(ds, "take") else ds.select(
+            range(min(num_samples, len(ds)))
+        )
+    return ds
+
+
+def validate_datasets(names: list[str]) -> list[str]:
+    """Expand "all" groups and fail on unknown names (reference cli.py:419-442)."""
+    out: list[str] = []
+    for name in names:
+        if name in ALL_GROUPS:
+            out.extend(ALL_GROUPS[name])
+        elif name in DATASET_REGISTRY:
+            out.append(name)
+        else:
+            known = ", ".join(sorted(DATASET_REGISTRY))
+            raise ValueError(f"unknown dataset {name!r}; known: {known}")
+    return out

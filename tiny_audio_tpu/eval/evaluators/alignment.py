@@ -1,0 +1,111 @@
+"""Word-timestamp alignment evaluator: LCS matching + median absolute error.
+
+Re-designed equivalent of ``/root/reference/scripts/eval/evaluators/
+alignment.py`` (460 LoC): predicted and reference word sequences are matched
+monotonically via LCS on normalized text (:12-79), and the metric is the
+**median** absolute error over the combined start+end deltas of matched
+words (:235-272).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Optional
+
+import numpy as np
+
+from tiny_audio_tpu.eval.normalizer import TextNormalizer
+
+
+def lcs_match(
+    predicted: list[str], reference: list[str]
+) -> list[tuple[int, int]]:
+    """Monotonic (pred_idx, ref_idx) pairs of the longest common subsequence."""
+    n, m = len(predicted), len(reference)
+    dp = np.zeros((n + 1, m + 1), np.int32)
+    for i in range(n - 1, -1, -1):
+        for j in range(m - 1, -1, -1):
+            if predicted[i] == reference[j]:
+                dp[i, j] = dp[i + 1, j + 1] + 1
+            else:
+                dp[i, j] = max(dp[i + 1, j], dp[i, j + 1])
+    pairs = []
+    i = j = 0
+    while i < n and j < m:
+        if predicted[i] == reference[j]:
+            pairs.append((i, j))
+            i += 1
+            j += 1
+        elif dp[i + 1, j] >= dp[i, j + 1]:
+            i += 1
+        else:
+            j += 1
+    return pairs
+
+
+class AlignmentEvaluator:
+    """Local backend: pipeline with ``return_timestamps=True``."""
+
+    def __init__(self, align_fn=None, model_name: str = "local-aligner"):
+        self.align_fn = align_fn  # (audio_dict, sample) -> list[word dicts]
+        self.model_name = model_name
+        self.normalizer = TextNormalizer()
+
+    def _norm_words(self, words: list[dict]) -> list[str]:
+        return [self.normalizer.normalize(w.get("word", "")) for w in words]
+
+    def sample_deltas(
+        self, predicted: list[dict], reference: list[dict]
+    ) -> list[float]:
+        pairs = lcs_match(self._norm_words(predicted), self._norm_words(reference))
+        deltas = []
+        for pi, ri in pairs:
+            deltas.append(abs(predicted[pi]["start"] - reference[ri]["start"]))
+            deltas.append(abs(predicted[pi]["end"] - reference[ri]["end"]))
+        return deltas
+
+    def evaluate(
+        self, dataset: Iterable[dict], num_samples: Optional[int] = None,
+        verbose: bool = True,
+    ) -> tuple[list[dict], dict]:
+        results = []
+        for i, sample in enumerate(dataset):
+            if num_samples and i >= num_samples:
+                break
+            reference = sample.get("words") or []
+            if not reference:
+                continue
+            t0 = time.time()
+            try:
+                predicted = self.align_fn(sample["audio"], sample)
+                error = None
+            except Exception as e:
+                predicted, error = [], str(e)
+            deltas = self.sample_deltas(predicted, reference)
+            row = {
+                "num_matched": len(deltas) // 2,
+                "num_reference": len(reference),
+                "deltas": deltas,
+                "time_s": time.time() - t0,
+            }
+            if error:
+                row["error"] = error
+            results.append(row)
+            if verbose and (i + 1) % 20 == 0:
+                print(f"[eval] {i + 1} samples", flush=True)
+        return results, self.compute_metrics(results)
+
+    @staticmethod
+    def compute_metrics(results: list[dict]) -> dict:
+        all_deltas = [d for r in results for d in r["deltas"]]
+        if not all_deltas:
+            return {"median_abs_error_s": float("nan"), "num_samples": len(results)}
+        matched = sum(r["num_matched"] for r in results)
+        total_ref = sum(r["num_reference"] for r in results)
+        return {
+            "median_abs_error_s": float(np.median(all_deltas)),
+            "mean_abs_error_s": float(np.mean(all_deltas)),
+            "match_rate": matched / max(total_ref, 1),
+            "num_samples": len(results),
+            "errors": sum(1 for r in results if "error" in r),
+        }

@@ -1,0 +1,215 @@
+"""ASR evaluators: local pipeline, streaming TTFB, HTTP endpoint, API backends.
+
+Re-designed equivalent of ``/root/reference/scripts/eval/evaluators/asr.py``
+(793 LoC).  The local backends run this framework's :class:`ASRPipeline`;
+external API backends (AssemblyAI / Deepgram / ElevenLabs) keep the
+reference's request/response contracts but are import/key-gated so the
+harness works in a hermetic environment.  The reference's Apple-Speech and
+Swift-MLX backends are macOS-only subprocess integrations and are out of
+scope for a TPU framework (documented non-goal).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from tiny_audio_tpu.eval.evaluators.base import Evaluator
+
+
+def _to_wav_bytes(audio: dict) -> bytes:
+    from tiny_audio_tpu.utils.audio_io import write_wav
+
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        p = Path(td) / "a.wav"
+        write_wav(p, np.asarray(audio["array"], np.float32),
+                  int(audio.get("sampling_rate", 16000)))
+        return p.read_bytes()
+
+
+class LocalEvaluator(Evaluator):
+    """Evaluate a local checkpoint through the full ASRPipeline
+    (reference asr.py:56-70)."""
+
+    def __init__(self, model_path: str, num_workers: int = 1, pipeline=None):
+        super().__init__(model_name=model_path, num_workers=1)  # one device
+        if pipeline is not None:
+            self.pipe = pipeline
+        else:
+            from tiny_audio_tpu.models.asr import ASRModel
+            from tiny_audio_tpu.pipeline import ASRPipeline
+
+            self.pipe = ASRPipeline(ASRModel.from_pretrained(model_path))
+
+    def transcribe(self, audio: dict, sample: dict) -> str:
+        kwargs = {}
+        if "prompt" in sample:
+            kwargs["user_prompt"] = sample["prompt"]
+        return self.pipe(audio, **kwargs)["text"]
+
+
+class LocalStreamingEvaluator(LocalEvaluator):
+    """Streaming decode with TTFB / processing-time metrics
+    (reference asr.py:79-218)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.ttfbs: list[float] = []
+        self.proc_times: list[float] = []
+
+    def transcribe(self, audio: dict, sample: dict) -> str:
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        norm = ASRPipeline.extract_audio(audio)
+        feats = self.pipe.processor.extract_features(norm["array"])
+        t0 = time.time()
+        first = None
+        parts: list[str] = []
+        for fragment in self.pipe.model.generate_streaming(
+            feats["input_features"], feats["audio_attention_mask"]
+        ):
+            if first is None:
+                first = time.time() - t0
+            parts.append(fragment)
+        self.ttfbs.append(first if first is not None else time.time() - t0)
+        self.proc_times.append(time.time() - t0)
+        return "".join(parts).strip()
+
+    def compute_metrics(self, results) -> dict:
+        metrics = super().compute_metrics(results)
+        if self.ttfbs:
+            metrics.update(
+                ttfb_avg_s=float(np.mean(self.ttfbs)),
+                ttfb_min_s=float(np.min(self.ttfbs)),
+                ttfb_max_s=float(np.max(self.ttfbs)),
+                processing_avg_s=float(np.mean(self.proc_times)),
+            )
+        return metrics
+
+
+class EndpointEvaluator(Evaluator):
+    """POST audio bytes to a serving endpoint (reference asr.py:221-268:
+    HF InferenceClient; here a plain HTTP contract)."""
+
+    def __init__(self, url: str, token: Optional[str] = None, num_workers: int = 4):
+        super().__init__(model_name=url, num_workers=num_workers)
+        self.url = url
+        self.token = token or os.environ.get("HF_TOKEN")
+
+    def transcribe(self, audio: dict, sample: dict) -> str:
+        import requests
+
+        headers = {"Content-Type": "audio/wav"}
+        if self.token:
+            headers["Authorization"] = f"Bearer {self.token}"
+        resp = requests.post(
+            self.url, data=_to_wav_bytes(audio), headers=headers, timeout=120
+        )
+        resp.raise_for_status()
+        body = resp.json()
+        return body.get("text", body if isinstance(body, str) else "")
+
+
+class AssemblyAIEvaluator(Evaluator):
+    """AssemblyAI batch API (reference asr.py:271-352)."""
+
+    def __init__(self, base_url: Optional[str] = None, num_workers: int = 4):
+        super().__init__(model_name="assemblyai", num_workers=num_workers)
+        self.api_key = os.environ.get("ASSEMBLYAI_API_KEY")
+        if not self.api_key:
+            raise RuntimeError("ASSEMBLYAI_API_KEY not set")
+        self.base_url = (base_url or "https://api.assemblyai.com").rstrip("/")
+
+    def transcribe(self, audio: dict, sample: dict) -> str:
+        import requests
+
+        headers = {"authorization": self.api_key}
+        up = requests.post(
+            f"{self.base_url}/v2/upload",
+            data=_to_wav_bytes(audio), headers=headers, timeout=120,
+        )
+        up.raise_for_status()
+        job = requests.post(
+            f"{self.base_url}/v2/transcript",
+            json={"audio_url": up.json()["upload_url"], "speech_model": "universal"},
+            headers=headers, timeout=30,
+        ).json()
+        while True:
+            st = requests.get(
+                f"{self.base_url}/v2/transcript/{job['id']}",
+                headers=headers, timeout=30,
+            ).json()
+            if st["status"] in ("completed", "error"):
+                break
+            time.sleep(1.0)
+        if st["status"] == "error":
+            raise RuntimeError(st.get("error", "assemblyai error"))
+        return st.get("text") or ""
+
+
+class DeepgramEvaluator(Evaluator):
+    """Deepgram nova-3 batch API (reference asr.py:355-397)."""
+
+    def __init__(self, num_workers: int = 4, model: str = "nova-3"):
+        super().__init__(model_name=f"deepgram-{model}", num_workers=num_workers)
+        self.api_key = os.environ.get("DEEPGRAM_API_KEY")
+        if not self.api_key:
+            raise RuntimeError("DEEPGRAM_API_KEY not set")
+        self.model = model
+
+    def transcribe(self, audio: dict, sample: dict) -> str:
+        import requests
+
+        resp = requests.post(
+            f"https://api.deepgram.com/v1/listen?model={self.model}&smart_format=true",
+            data=_to_wav_bytes(audio),
+            headers={
+                "Authorization": f"Token {self.api_key}",
+                "Content-Type": "audio/wav",
+            },
+            timeout=120,
+        )
+        resp.raise_for_status()
+        alts = resp.json()["results"]["channels"][0]["alternatives"]
+        return alts[0]["transcript"] if alts else ""
+
+
+class ElevenLabsEvaluator(Evaluator):
+    """ElevenLabs scribe batch API (reference asr.py:400-431)."""
+
+    def __init__(self, num_workers: int = 4):
+        super().__init__(model_name="elevenlabs-scribe", num_workers=num_workers)
+        self.api_key = os.environ.get("ELEVENLABS_API_KEY")
+        if not self.api_key:
+            raise RuntimeError("ELEVENLABS_API_KEY not set")
+
+    def transcribe(self, audio: dict, sample: dict) -> str:
+        import requests
+
+        resp = requests.post(
+            "https://api.elevenlabs.io/v1/speech-to-text",
+            headers={"xi-api-key": self.api_key},
+            files={"file": ("a.wav", _to_wav_bytes(audio), "audio/wav")},
+            data={"model_id": "scribe_v1"},
+            timeout=120,
+        )
+        resp.raise_for_status()
+        return resp.json().get("text", "")
+
+
+BACKENDS = {
+    "local": LocalEvaluator,
+    "local-streaming": LocalStreamingEvaluator,
+    "endpoint": EndpointEvaluator,
+    "assemblyai": AssemblyAIEvaluator,
+    "deepgram": DeepgramEvaluator,
+    "elevenlabs": ElevenLabsEvaluator,
+}

@@ -131,6 +131,8 @@ class MOSAProjector(nn.Module):
         logits = nn.Dense(num_experts, dtype=self.dtype,
                           param_dtype=self.param_dtype, name="router_fc2")(r)
         weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        # routing-health observability (ta debug check-mosa)
+        self.sow("intermediates", "router_probs", weights.astype(jnp.float32))
 
         out = 0.0
         for e in range(num_experts):
@@ -181,6 +183,8 @@ class MoEProjector(nn.Module):
             logits = logits * noise
 
         probs = jax.nn.softmax(logits, axis=-1)  # fp32 softmax [B, T, E]
+        # routing-health observability (ta debug check-moe)
+        self.sow("intermediates", "router_probs", probs)
         top_w, top_idx = jax.lax.top_k(probs, top_k)
         top_w = top_w / (top_w.sum(axis=-1, keepdims=True) + 1e-6)
 
