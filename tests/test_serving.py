@@ -1,0 +1,103 @@
+"""Serving layer: endpoint handler contract, HTTP server, pipecat adapter."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tiny_audio_tpu.handler import EndpointHandler
+from tiny_audio_tpu.integrations.pipecat_stt import pcm16_to_float32
+from tiny_audio_tpu.serving import make_server
+
+
+@pytest.fixture(scope="module")
+def handler():
+    from tiny_audio_tpu.config import tiny_test_config
+    from tiny_audio_tpu.models.asr import ASRModel
+    from tiny_audio_tpu.pipeline import ASRPipeline
+
+    model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+    return EndpointHandler(pipeline=ASRPipeline(model))
+
+
+class TestEndpointHandler:
+    def test_array_input(self, handler):
+        audio = np.zeros(8000, np.float32)
+        out = handler({"inputs": audio})
+        assert "text" in out
+
+    def test_missing_inputs(self, handler):
+        assert "error" in handler({})
+
+    def test_parameters_forwarded(self, handler):
+        audio = np.zeros(8000, np.float32)
+        out = handler({"inputs": audio, "parameters": {"return_timestamps": True}})
+        assert "words" in out
+
+    def test_bad_request_does_not_raise(self, handler):
+        out = handler({"inputs": object()})
+        assert "error" in out
+
+    def test_wav_bytes_input(self, handler, tmp_path):
+        from tiny_audio_tpu.utils.audio_io import write_wav
+
+        p = tmp_path / "a.wav"
+        write_wav(p, np.zeros(8000, np.float32))
+        out = handler({"inputs": p.read_bytes()})
+        assert "text" in out
+
+
+class TestHTTPServer:
+    @pytest.fixture(scope="class")
+    def server_url(self, request):
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        handler = EndpointHandler(pipeline=ASRPipeline(model))
+        server = make_server(handler, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        request.addfinalizer(server.shutdown)
+        return f"http://127.0.0.1:{port}"
+
+    def test_healthz(self, server_url):
+        with urllib.request.urlopen(f"{server_url}/healthz") as r:
+            body = json.loads(r.read())
+        assert body["status"] == "ok"
+
+    def test_transcribe_pcm(self, server_url):
+        audio = np.zeros(8000, np.float32).tobytes()
+        req = urllib.request.Request(
+            f"{server_url}/transcribe", data=audio,
+            headers={"Content-Type": "application/pcm-f32"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        assert "text" in body
+
+    def test_unknown_route_404(self, server_url):
+        req = urllib.request.Request(f"{server_url}/nope", data=b"x")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 404
+
+
+class TestPipecat:
+    def test_pcm16_conversion(self):
+        pcm = np.array([0, 16384, -32768, 32767], np.int16).tobytes()
+        out = pcm16_to_float32(pcm)
+        np.testing.assert_allclose(
+            out, [0.0, 0.5, -1.0, 32767 / 32768], atol=1e-6
+        )
+
+    def test_service_requires_pipecat(self):
+        from tiny_audio_tpu.integrations import pipecat_stt
+
+        if not pipecat_stt._HAVE_PIPECAT:
+            with pytest.raises(ImportError):
+                pipecat_stt.TinyAudioSTTService(model_path="x")

@@ -38,6 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     add_push_parser(sub)
 
+    srv = sub.add_parser("serve", help="HTTP transcription server")
+    srv.add_argument("-m", "--model", required=True)
+    srv.add_argument("--host", default="0.0.0.0")
+    srv.add_argument("--port", type=int, default=8000)
+    srv.add_argument("--no-warmup", action="store_true")
+    srv.set_defaults(func=_cmd_serve)
+
     demo = sub.add_parser("demo", help="Launch the Gradio demo")
     demo.add_argument("-m", "--model", required=True)
     demo.add_argument("--share", action="store_true")
@@ -63,6 +70,13 @@ def _cmd_train(args) -> int:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.main(args.overrides)
+    return 0
+
+
+def _cmd_serve(args) -> int:
+    from tiny_audio_tpu.serving import serve
+
+    serve(args.model, host=args.host, port=args.port, warmup=not args.no_warmup)
     return 0
 
 
