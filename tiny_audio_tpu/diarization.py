@@ -63,14 +63,20 @@ def frame_vad(
     n_frames = max(len(audio) // hop, 0)
     if n_frames == 0:
         return np.zeros(0, dtype=bool)
-    frames = audio[: n_frames * hop].reshape(n_frames, hop)
 
-    energy_db = 10.0 * np.log10(np.mean(frames**2, axis=1) + 1e-10)
-    window = np.hanning(hop).astype(np.float32)
-    spec = np.abs(np.fft.rfft(frames * window, axis=1)) + 1e-10
-    # flatness: geometric mean / arithmetic mean of the power spectrum
-    power = spec**2
-    flatness = np.exp(np.mean(np.log(power), axis=1)) / np.mean(power, axis=1)
+    from tiny_audio_tpu import native
+
+    feats = native.vad_features(audio, hop) if (hop & (hop - 1)) == 0 else None
+    if feats is not None:
+        energy_db, flatness = feats
+    else:
+        frames = audio[: n_frames * hop].reshape(n_frames, hop)
+        energy_db = 10.0 * np.log10(np.mean(frames**2, axis=1) + 1e-10)
+        window = np.hanning(hop).astype(np.float32)
+        spec = np.abs(np.fft.rfft(frames * window, axis=1)) + 1e-10
+        # flatness: geometric mean / arithmetic mean of the power spectrum
+        power = spec**2
+        flatness = np.exp(np.mean(np.log(power), axis=1)) / np.mean(power, axis=1)
 
     floor_db = np.percentile(energy_db, energy_percentile)
     threshold_db = float(np.clip(floor_db + margin_db, -45.0, -25.0))

@@ -29,6 +29,11 @@ SAMPLE_RATE = 16000
 
 
 def _fft_convolve(audio: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    from tiny_audio_tpu import native
+
+    out = native.fft_convolve(audio, kernel)
+    if out is not None:
+        return out
     n = len(audio) + len(kernel) - 1
     nfft = 1 << (n - 1).bit_length()
     out = np.fft.irfft(

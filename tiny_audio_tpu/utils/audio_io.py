@@ -17,11 +17,21 @@ import numpy as np
 
 
 def read_wav(source: Union[str, Path, bytes]) -> tuple[np.ndarray, int]:
-    """Read a PCM WAV file/bytes -> (float32 mono waveform in [-1, 1], rate)."""
+    """Read a PCM WAV file/bytes -> (float32 mono waveform in [-1, 1], rate).
+
+    Decodes through the native C++ runtime (native/ta_audio.cpp) when built,
+    with this stdlib implementation as the fallback and the test oracle."""
     if isinstance(source, (str, Path)):
         data = Path(source).read_bytes()
     else:
         data = source
+
+    from tiny_audio_tpu import native
+
+    decoded = native.wav_decode(data)
+    if decoded is not None:
+        return decoded
+
     with wave.open(io.BytesIO(data), "rb") as w:
         rate = w.getframerate()
         n_channels = w.getnchannels()
