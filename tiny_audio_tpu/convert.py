@@ -1,0 +1,197 @@
+"""HF / reference-checkpoint weight conversion into tiny_audio_tpu params.
+
+The parity path (SURVEY.md §7 step 5): load the reference's published
+checkpoint family — a Whisper/GLM-style encoder, a Qwen3 LM, and the trained
+projector safetensors from ``mazesmazes/tiny-audio`` — and emit this
+framework's parameter pytrees.  Tower converters live next to their modules
+(:func:`~tiny_audio_tpu.models.encoder.convert_hf_whisper_encoder`,
+:func:`~tiny_audio_tpu.models.decoder.convert_hf_qwen3`,
+:func:`~tiny_audio_tpu.models.wav2vec2.convert_hf_wav2vec2`); this module
+adds state-dict loading, the projector converter (reference naming matches
+ours by design: linear_1/norm/linear_2/norm_2 etc,
+``/root/reference/tiny_audio/projectors.py:23-71``), and the one-call
+:func:`convert_checkpoint`.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_state_dict(path: str | Path) -> dict:
+    """Load a torch/safetensors state dict from a file or HF checkpoint dir."""
+    path = Path(path)
+    if path.is_dir():
+        files = sorted(path.glob("*.safetensors")) or sorted(
+            path.glob("pytorch_model*.bin")
+        )
+        if not files:
+            raise FileNotFoundError(f"no weight files in {path}")
+        sd: dict = {}
+        for f in files:
+            sd.update(load_state_dict(f))
+        return sd
+    if path.suffix == ".safetensors":
+        from safetensors.numpy import load_file
+
+        return dict(load_file(str(path)))
+    import torch
+
+    sd = torch.load(str(path), map_location="cpu", weights_only=True)
+    return {k: v for k, v in sd.items()}
+
+
+def _np(w) -> np.ndarray:
+    if hasattr(w, "detach"):
+        return w.detach().cpu().float().numpy()
+    return np.asarray(w)
+
+
+# ------------------------------------------------------------------ projector
+
+
+def convert_reference_projector(state_dict: dict, projector_type: str,
+                                dtype=jnp.float32) -> dict:
+    """Reference trained projector state_dict -> our projector params.
+
+    Accepts keys with or without the ``projector.`` prefix (the reference's
+    trainable-only ``state_dict`` uses it, asr_modeling.py:398-422).
+    """
+    sd = {k.removeprefix("projector."): _np(v) for k, v in state_dict.items()}
+
+    def lin(name, transpose=True, cast=None):
+        w = sd[name]
+        if transpose:
+            w = w.T
+        return jnp.asarray(w, dtype=cast or dtype)
+
+    if projector_type == "mlp":
+        return {
+            "linear_1": {"kernel": lin("linear_1.weight")},
+            "norm": {"weight": lin("norm.weight", transpose=False)},
+            "linear_2": {"kernel": lin("linear_2.weight")},
+            "norm_2": {"weight": lin("norm_2.weight", transpose=False)},
+        }
+
+    if projector_type == "mosa":
+        params: dict = {}
+        for i in range(2):
+            params[f"downsample_{i}"] = {
+                # torch Conv1d [out, in, k] -> flax [k, in, out]
+                "kernel": jnp.asarray(
+                    sd[f"downsample.{i * 2}.weight"].transpose(2, 1, 0), dtype
+                ),
+                "bias": lin(f"downsample.{i * 2}.bias", transpose=False),
+            }
+        params["router_fc1"] = {
+            "kernel": lin("router.0.weight"), "bias": lin("router.0.bias", False)
+        }
+        params["router_fc2"] = {
+            "kernel": lin("router.2.weight"), "bias": lin("router.2.bias", False)
+        }
+        e = 0
+        while f"experts.{e}.fc1.weight" in sd:
+            params[f"expert_{e}"] = {
+                "fc1": {"kernel": lin(f"experts.{e}.fc1.weight"),
+                        "bias": lin(f"experts.{e}.fc1.bias", False)},
+                "fc2": {"kernel": lin(f"experts.{e}.fc2.weight"),
+                        "bias": lin(f"experts.{e}.fc2.bias", False)},
+            }
+            e += 1
+        return params
+
+    if projector_type == "moe":
+        n = 0
+        while f"experts.{n}.fc1.weight" in sd:
+            n += 1
+        return {
+            "norm": {"weight": lin("norm.weight", transpose=False)},
+            "router": {"kernel": lin("router.weight")},
+            "shared_expert": {
+                "fc1": {"kernel": lin("shared_expert.fc1.weight"),
+                        "bias": lin("shared_expert.fc1.bias", False)},
+                "fc2": {"kernel": lin("shared_expert.fc2.weight"),
+                        "bias": lin("shared_expert.fc2.bias", False)},
+            },
+            "experts_fc1_kernel": jnp.stack(
+                [lin(f"experts.{e}.fc1.weight") for e in range(n)]
+            ),
+            "experts_fc1_bias": jnp.stack(
+                [lin(f"experts.{e}.fc1.bias", False) for e in range(n)]
+            ),
+            "experts_fc2_kernel": jnp.stack(
+                [lin(f"experts.{e}.fc2.weight") for e in range(n)]
+            ),
+            "experts_fc2_bias": jnp.stack(
+                [lin(f"experts.{e}.fc2.bias", False) for e in range(n)]
+            ),
+        }
+
+    raise ValueError(
+        f"no reference converter for projector_type={projector_type!r} "
+        "(qformer checkpoints use HF Blip2 naming; convert via a custom map)"
+    )
+
+
+# ----------------------------------------------------------------- full model
+
+
+def convert_checkpoint(
+    config,
+    encoder_path: Optional[str | Path] = None,
+    decoder_path: Optional[str | Path] = None,
+    projector_path: Optional[str | Path] = None,
+    aligner_path: Optional[str | Path] = None,
+    output_dir: Optional[str | Path] = None,
+    seed: int = 0,
+):
+    """Build an :class:`ASRModel` from HF/reference torch checkpoints.
+
+    Any tower path may be None (that tower keeps its random init).  When
+    ``output_dir`` is given the converted model is saved in this framework's
+    checkpoint format.
+    """
+    from tiny_audio_tpu.models.asr import ASRModel
+    from tiny_audio_tpu.models.decoder import convert_hf_qwen3
+    from tiny_audio_tpu.models.encoder import convert_hf_whisper_encoder
+
+    dtype = jnp.bfloat16 if config.model_dtype == "bfloat16" else jnp.float32
+    model = ASRModel(config, seed=seed)
+
+    if encoder_path:
+        model.params["encoder"] = convert_hf_whisper_encoder(
+            load_state_dict(encoder_path), config.encoder, dtype=dtype
+        )
+    if decoder_path:
+        model.params["decoder"] = convert_hf_qwen3(
+            load_state_dict(decoder_path), config.decoder, dtype=dtype
+        )
+    if projector_path:
+        model.params["projector"] = convert_reference_projector(
+            load_state_dict(projector_path), config.projector_type
+        )
+    if aligner_path:
+        from tiny_audio_tpu.alignment import ForcedAligner
+        from tiny_audio_tpu.models.wav2vec2 import convert_hf_wav2vec2
+
+        w2v_params = convert_hf_wav2vec2(load_state_dict(aligner_path))
+        if output_dir:
+            from flax import serialization
+
+            out = Path(output_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            (out / "wav2vec2_aligner.msgpack").write_bytes(
+                serialization.to_bytes(w2v_params)
+            )
+        from tiny_audio_tpu.models.wav2vec2 import Wav2Vec2CTC
+
+        ForcedAligner._model = Wav2Vec2CTC()  # attach for this process
+        ForcedAligner._params = w2v_params
+
+    if output_dir:
+        model.save_pretrained(output_dir)
+    return model

@@ -128,12 +128,18 @@ def convert_hf_wav2vec2(state_dict: dict, dtype=jnp.float32) -> dict:
         "kernel": t("feature_projection.projection.weight", transpose=True),
         "bias": t("feature_projection.projection.bias"),
     }
-    # HF stores pos_conv with weight-norm split (weight_g/weight_v) or fused
-    if "encoder.pos_conv_embed.conv.weight" in sd:
-        pc = sd["encoder.pos_conv_embed.conv.weight"]
+    # HF stores pos_conv fused, weight-norm split (weight_g/weight_v), or as
+    # torch parametrizations (original0/original1), depending on version
+    base_pc = "encoder.pos_conv_embed.conv"
+    if f"{base_pc}.weight" in sd:
+        pc = sd[f"{base_pc}.weight"]
     else:
-        g = sd["encoder.pos_conv_embed.conv.weight_g"]
-        v = sd["encoder.pos_conv_embed.conv.weight_v"]
+        if f"{base_pc}.weight_g" in sd:
+            g = sd[f"{base_pc}.weight_g"]
+            v = sd[f"{base_pc}.weight_v"]
+        else:
+            g = sd[f"{base_pc}.parametrizations.weight.original0"]
+            v = sd[f"{base_pc}.parametrizations.weight.original1"]
         norm = np.linalg.norm(v, axis=(0, 1), keepdims=True)
         pc = g * v / np.maximum(norm, 1e-12)
     # torch conv [out, in/groups, k] -> flax [k, in/groups, out]
