@@ -121,9 +121,12 @@ def test_kv_cache_decode_matches_full_forward(jax_params, decoder, rng):
         np.asarray(logits_p), np.asarray(full_logits[:, :t_prompt]), atol=1e-4, rtol=1e-3
     )
 
-    # Step-by-step decode for the remaining tokens
+    # Step-by-step decode for the remaining tokens.  kv_valid marks CACHED
+    # positions (< step): the fresh position is appended in-kernel
+    # (ops/attention.decode_step_attention), which is what lets the decoder
+    # write the cache once per step outside the layer scan.
     for step in range(t_prompt, t_total):
-        kv_valid = (jnp.arange(max_len) <= step)[None, :].astype(jnp.int32)
+        kv_valid = (jnp.arange(max_len) < step)[None, :].astype(jnp.int32)
         logits_s, cache = decoder.apply(
             jax_params, embeds[:, step : step + 1], positions[:, step : step + 1],
             step_kv_valid=kv_valid, cache=cache, cache_index=step,

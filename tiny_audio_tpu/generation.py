@@ -188,7 +188,7 @@ def generate_tokens(
         embeds = decoder.apply(
             variables, st["cur"][:, None], method=Qwen3Decoder.embed
         )
-        kv_valid = (jnp.arange(s) <= pos)[None, :].astype(jnp.int32)
+        kv_valid = (jnp.arange(s) < pos)[None, :].astype(jnp.int32)  # fresh pos appended in-kernel
         logits, new_cache = decoder.apply(
             variables, embeds, jnp.full((b, 1), pos, jnp.int32),
             step_kv_valid=kv_valid, cache=st["cache"], cache_index=pos,
@@ -258,7 +258,7 @@ def stream_generate(
     @functools.partial(jax.jit, donate_argnames=("step_cache",))
     def step_fn(variables, cur, pos, step_cache, seen, key):
         embeds = decoder.apply(variables, cur[:, None], method=Qwen3Decoder.embed)
-        kv_valid = (jnp.arange(s) <= pos)[None, :].astype(jnp.int32)
+        kv_valid = (jnp.arange(s) < pos)[None, :].astype(jnp.int32)  # fresh pos appended in-kernel
         logits, new_cache = decoder.apply(
             variables, embeds, jnp.full((b, 1), pos, jnp.int32),
             step_kv_valid=kv_valid,

@@ -53,9 +53,14 @@ class Qwen3Block(nn.Module):
         x: [B, T, H] hidden states.  layer_cache: None or (k, v) each
         [B, S, Hkv, D].  Attention mode is shape-driven:
         no cache -> causal training forward (``padding_mask`` [B, T]);
-        cache and T > 1 -> prefill (causal over the fresh K/V, then write);
-        cache and T == 1 -> decode step over the cache (``step_kv_valid`` [B, S]).
-        Returns (x_out, new_layer_cache).
+        cache and T > 1 -> prefill (causal over the fresh K/V);
+        cache and T == 1 -> decode step: stale cache (``step_kv_valid``
+        [B, S] marking positions < cache_index) + fresh self position.
+
+        Returns (x_out, fresh_kv): the block never writes the cache — the
+        decoder performs ONE ``dynamic_update_slice`` per step outside the
+        layer scan (a per-layer write would restack the full cache as scan
+        outputs, a ~550 MB copy every decode step on the 0.6B model).
         """
         cfg = self.cfg
         b, t, _ = x.shape
@@ -107,15 +112,11 @@ class Qwen3Block(nn.Module):
 
         if layer_cache is not None:
             cache_k, cache_v = layer_cache
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
-            )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
-            )
-            new_cache = (cache_k, cache_v)
-            if t == 1:  # decode step: attend over the cache
-                out = decode_step_attention(q, cache_k, cache_v, step_kv_valid)
+            new_cache = (k.astype(cache_k.dtype), v.astype(cache_v.dtype))
+            if t == 1:  # decode step: stale cache + fresh self position
+                out = decode_step_attention(
+                    q, cache_k, cache_v, step_kv_valid, fresh_k=k, fresh_v=v
+                )
             else:  # prefill: causal attention over the fresh K/V only
                 out = causal_self_attention(q, k, v, padding_mask)
         else:
@@ -191,7 +192,7 @@ class Qwen3Decoder(nn.Module):
         x = inputs_embeds.astype(self.dtype)
 
         layer_cache = None if cache is None else (cache["k"], cache["v"])
-        x, new_layer_cache = self.layers(
+        x, fresh_kv = self.layers(
             x, layer_cache, cos, sin, padding_mask, step_kv_valid, cache_index
         )
         x = self.norm(x)
@@ -204,7 +205,15 @@ class Qwen3Decoder(nn.Module):
 
         new_cache = None
         if cache is not None:
-            new_cache = {"k": new_layer_cache[0], "v": new_layer_cache[1]}
+            # single write for all layers: fresh_kv is [L, B, T, Hkv, D]
+            new_cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], fresh_kv[0], (0, 0, cache_index, 0, 0)
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], fresh_kv[1], (0, 0, cache_index, 0, 0)
+                ),
+            }
         return (logits if logits is not None else x), new_cache
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
