@@ -123,3 +123,47 @@ def test_pipeline_custom_prompt(tiny_pipeline, rng):
     out = tiny_pipeline({"array": audio, "sampling_rate": 16000},
                         user_prompt="Describe the audio")
     assert "text" in out
+
+
+class TestLongFormChunking:
+    """Long-form audio is split into encoder-window chunks and transcripts
+    joined (reference asr_pipeline.py:204-220 inherits HF chunking)."""
+
+    def test_long_audio_chunks(self, monkeypatch):
+        import numpy as np
+
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        pipe = ASRPipeline(model)
+        calls = []
+
+        def fake_generate(feats, mask, **kw):
+            calls.append(np.asarray(feats).shape)
+            return np.zeros((1, 4), np.int32)
+
+        monkeypatch.setattr(pipe.model, "generate", fake_generate)
+        audio = np.zeros(int(2.5 * 16000), np.float32)
+        pipe(audio, chunk_length_s=1.0)
+        assert len(calls) == 3  # 1s + 1s + 0.5s
+
+    def test_short_audio_single_chunk(self, monkeypatch):
+        import numpy as np
+
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        pipe = ASRPipeline(model)
+        calls = []
+
+        def fake_generate(feats, mask, **kw):
+            calls.append(1)
+            return np.zeros((1, 4), np.int32)
+
+        monkeypatch.setattr(pipe.model, "generate", fake_generate)
+        pipe(np.zeros(16000, np.float32))
+        assert len(calls) == 1

@@ -159,6 +159,10 @@ def add_analysis_parser(subparsers) -> None:
     cm.add_argument("results_b")
     cm.set_defaults(func=_cmd_compare)
 
+    ex = sp.add_parser("extract-entities")
+    ex.add_argument("results")
+    ex.set_defaults(func=_cmd_extract_entities)
+
 
 def _cmd_high_wer(args) -> int:
     for s in high_wer(args.results, args.threshold):
@@ -174,6 +178,16 @@ def _cmd_entity_errors(args) -> int:
         print(f"#{s['sample_num']} missing [{missing}]")
         print(f"  GT:   {s['ground_truth']}")
         print(f"  PRED: {s['prediction']}")
+    return 0
+
+
+def _cmd_extract_entities(args) -> int:
+    counts: dict[str, int] = {}
+    for s in parse_results_file(args.results):
+        for label, span in extract_entities(s["ground_truth"]):
+            counts[label] = counts.get(label, 0) + 1
+    for label, n in sorted(counts.items(), key=lambda kv: -kv[1]):
+        print(f"{label}: {n}")
     return 0
 
 

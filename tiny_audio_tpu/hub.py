@@ -98,6 +98,24 @@ def push_to_hub(
     return f"https://huggingface.co/{repo_id}"
 
 
+class PushToHubCallback:
+    """Trainer callback: push the model artifact to the Hub on every save
+    (reference train.py:440-458; failures are swallowed so flaky networking
+    never kills a run — same ``contextlib.suppress`` contract)."""
+
+    def __init__(self, repo_id: str, private: bool = False):
+        self.repo_id = repo_id
+        self.private = private
+
+    def on_save(self, trainer, step: int) -> None:
+        import contextlib
+
+        with contextlib.suppress(Exception):
+            push_to_hub(
+                trainer.out_dir / "model", self.repo_id, private=self.private
+            )
+
+
 def add_push_parser(subparsers) -> None:
     p = subparsers.add_parser("push", help="Stage/push a checkpoint artifact")
     p.add_argument("-m", "--model", required=True, help="checkpoint dir")

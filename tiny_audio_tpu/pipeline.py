@@ -112,6 +112,9 @@ class ASRPipeline:
 
     # ------------------------------------------------------------------ main
 
+    #: encoder window: ~30 s at 16 kHz (MODEL_CARD.md; reference train.py:269-271)
+    MAX_CHUNK_SECONDS = 30.0
+
     def __call__(
         self,
         inputs,
@@ -121,21 +124,33 @@ class ASRPipeline:
         num_speakers: Optional[int] = None,
         min_speakers: Optional[int] = None,
         max_speakers: Optional[int] = None,
+        chunk_length_s: Optional[float] = None,
         **generate_kwargs,
     ) -> dict:
         if return_speakers:
             return_timestamps = True
 
         audio = self.extract_audio(inputs)
-        feats = self.processor.extract_features(audio["array"])
+        chunk_s = chunk_length_s or self.MAX_CHUNK_SECONDS
+        chunk_samples = int(chunk_s * audio["sampling_rate"])
 
-        tokens = self.model.generate(
-            feats["input_features"],
-            feats["audio_attention_mask"],
-            user_prompt=user_prompt,
-            **generate_kwargs,
-        )
-        result = {"text": self.postprocess_tokens(tokens[0])}
+        # Long-form: sequential fixed-window chunks, transcripts joined
+        # (the reference inherits HF pipeline chunking, asr_pipeline.py:204-220)
+        waveform = audio["array"]
+        texts = []
+        for start in range(0, max(len(waveform), 1), chunk_samples):
+            chunk = waveform[start : start + chunk_samples]
+            if start > 0 and len(chunk) < int(0.2 * audio["sampling_rate"]):
+                break  # ignore sub-200ms tails of long-form audio
+            feats = self.processor.extract_features(chunk)
+            tokens = self.model.generate(
+                feats["input_features"],
+                feats["audio_attention_mask"],
+                user_prompt=user_prompt,
+                **generate_kwargs,
+            )
+            texts.append(self.postprocess_tokens(tokens[0]))
+        result = {"text": " ".join(t for t in texts if t).strip()}
 
         if return_timestamps:
             text = result["text"]
