@@ -275,3 +275,44 @@ class TestTrainerLoop:
         )
         result = trainer.train()
         assert result["final_step"] == 4
+
+
+class TestGroupByLength:
+    def test_batches_are_length_homogeneous(self):
+        from tiny_audio_tpu.train.trainer import batch_iterator
+
+        rng = np.random.default_rng(0)
+        rows = [
+            {"audio": {"array": np.zeros(int(l))}, "text": "x"}
+            for l in rng.integers(1000, 50000, 64)
+        ]
+        seen = []
+
+        def collator(batch):
+            lengths = [len(r["audio"]["array"]) for r in batch]
+            seen.append(max(lengths) / max(min(lengths), 1))
+            return {"n": len(batch)}
+
+        list(batch_iterator(rows, collator, 8, epochs=1, group_by_length=True,
+                            length_window=2))
+        grouped_spread = float(np.mean(seen))
+        seen.clear()
+        list(batch_iterator(rows, collator, 8, epochs=1, group_by_length=False))
+        uniform_spread = float(np.mean(seen))
+        assert grouped_spread < uniform_spread
+
+    def test_all_samples_covered(self):
+        from tiny_audio_tpu.train.trainer import batch_iterator
+
+        rows = [
+            {"audio": {"array": np.zeros(100 * (i + 1))}, "text": str(i)}
+            for i in range(32)
+        ]
+        texts = []
+
+        def collator(batch):
+            texts.extend(r["text"] for r in batch)
+            return {}
+
+        list(batch_iterator(rows, collator, 4, epochs=1, group_by_length=True))
+        assert sorted(map(int, texts)) == list(range(32))

@@ -36,6 +36,8 @@ class GenerationConfig:
     temperature: Optional[float] = None
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    num_beams: int = 1
+    length_penalty: float = 1.0
 
     @classmethod
     def from_asr_config(cls, cfg, eos_token_ids: Sequence[int], pad_token_id: int):
@@ -49,6 +51,8 @@ class GenerationConfig:
             temperature=cfg.temperature,
             top_k=cfg.top_k,
             top_p=cfg.top_p,
+            num_beams=cfg.num_beams or 1,
+            length_penalty=cfg.length_penalty or 1.0,
         )
 
 
@@ -296,3 +300,138 @@ def stream_generate(
             return
         rng, key = jax.random.split(rng)
         tok, cache, seen = step_fn(variables, tok, t + step, cache, seen, key)
+
+
+def generate_beams(
+    decoder: Qwen3Decoder,
+    variables: Any,
+    inputs_embeds: jax.Array,
+    gen: GenerationConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Beam-search decoding as one fused XLA loop.
+
+    Standard length-normalized beam search (HF-style ``early_stopping=False``
+    semantics approximated: beams that emit EOS are frozen with a final score
+    ``cum_logprob / len**length_penalty``; the loop runs until every beam is
+    finished or the token budget ends, then the best-scoring beam per row is
+    returned).  The reference exposes ``num_beams`` through its config but
+    every published recipe decodes greedily (asr_config.py:104), so exact HF
+    hypothesis-heap semantics are not part of the parity surface.
+
+    Args:
+        inputs_embeds: [B, T, H] prompt embeddings (audio already spliced).
+    Returns:
+        (tokens [B, max_new_tokens] int32, pad after EOS; scores [B] float32).
+    """
+    cfg = decoder.cfg
+    k = gen.num_beams
+    b, t, h = inputs_embeds.shape
+    s = t + gen.max_new_tokens
+    neg_inf = jnp.float32(-1e30)
+
+    # ---- prefill once per row, then replicate state across beams
+    cache = decoder.init_cache(b, s, dtype=decoder.dtype)
+    positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    logits, cache = decoder.apply(
+        variables, inputs_embeds, positions,
+        padding_mask=jnp.ones((b, t), jnp.int32), cache=cache, cache_index=0,
+    )
+    first_logprobs = jax.nn.log_softmax(
+        logits[:, -1].astype(jnp.float32), axis=-1
+    )  # [B, V]
+
+    def rep(x):  # [., B, ...] -> beam-major [., B*K, ...] along the batch axis
+        return jnp.repeat(x, k, axis=1)
+
+    cache = {"k": rep(cache["k"]), "v": rep(cache["v"])}
+
+    # first token: top-k of the first distribution seeds the beams
+    top_lp, top_tok = jax.lax.top_k(first_logprobs, k)  # [B, K]
+    tokens0 = jnp.full((b, k, gen.max_new_tokens), gen.pad_token_id, jnp.int32)
+    tokens0 = tokens0.at[:, :, 0].set(top_tok)
+
+    def is_eos(tok):
+        hit = jnp.zeros_like(tok, dtype=bool)
+        for eos in gen.eos_token_ids:
+            hit |= tok == eos
+        return hit
+
+    finished0 = is_eos(top_tok)
+    lengths0 = jnp.ones((b, k), jnp.int32)
+
+    state = {
+        "cache": cache,
+        "tokens": tokens0,
+        "cum": top_lp,                   # [B, K] cumulative logprob
+        "cur": top_tok,                  # [B, K]
+        "finished": finished0,
+        "lengths": lengths0,
+        "step": jnp.int32(1),
+    }
+
+    def cond(st):
+        return (st["step"] < gen.max_new_tokens) & ~jnp.all(st["finished"])
+
+    def body(st):
+        step = st["step"]
+        pos = t + step - 1
+        flat_cur = st["cur"].reshape(b * k)
+        embeds = decoder.apply(variables, flat_cur[:, None], method=Qwen3Decoder.embed)
+        kv_valid = (jnp.arange(s) < pos)[None, :].astype(jnp.int32)
+        logits, new_cache = decoder.apply(
+            variables, embeds, jnp.full((b * k, 1), pos, jnp.int32),
+            step_kv_valid=kv_valid, cache=st["cache"], cache_index=pos,
+        )
+        logprobs = jax.nn.log_softmax(
+            logits[:, 0].astype(jnp.float32), axis=-1
+        ).reshape(b, k, -1)  # [B, K, V]
+        v = logprobs.shape[-1]
+
+        # finished beams may only extend with pad at zero cost
+        pad_only = jnp.full((v,), neg_inf).at[gen.pad_token_id].set(0.0)
+        logprobs = jnp.where(
+            st["finished"][:, :, None], pad_only[None, None, :], logprobs
+        )
+
+        cand = st["cum"][:, :, None] + logprobs  # [B, K, V]
+        flat = cand.reshape(b, k * v)
+        new_cum, idx = jax.lax.top_k(flat, k)      # [B, K]
+        beam_idx = idx // v                        # parent beam
+        tok = (idx % v).astype(jnp.int32)
+
+        gather = jnp.arange(b)[:, None] * k + beam_idx  # flat [B, K] indices
+        # reorder beam-dependent state by parent beam
+        tokens = st["tokens"].reshape(b * k, -1)[gather.reshape(-1)].reshape(
+            b, k, -1
+        )
+        parent_finished = jnp.take_along_axis(st["finished"], beam_idx, axis=1)
+        parent_lengths = jnp.take_along_axis(st["lengths"], beam_idx, axis=1)
+        cache_k = new_cache["k"][:, gather.reshape(-1)]
+        cache_v = new_cache["v"][:, gather.reshape(-1)]
+
+        tok = jnp.where(parent_finished, gen.pad_token_id, tok)
+        tokens = tokens.at[:, :, step].set(tok)
+        finished = parent_finished | is_eos(tok)
+        lengths = jnp.where(parent_finished, parent_lengths, parent_lengths + 1)
+
+        return {
+            "cache": {"k": cache_k, "v": cache_v},
+            "tokens": tokens,
+            "cum": new_cum,
+            "cur": tok,
+            "finished": finished,
+            "lengths": lengths,
+            "step": step + 1,
+        }
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    # length-normalized final scores; pick the best beam per row
+    scores = state["cum"] / (
+        state["lengths"].astype(jnp.float32) ** gen.length_penalty
+    )
+    best = jnp.argmax(scores, axis=1)  # [B]
+    tokens = jnp.take_along_axis(
+        state["tokens"], best[:, None, None], axis=1
+    )[:, 0]
+    return tokens, jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]

@@ -34,7 +34,12 @@ import numpy as np
 from flax import serialization
 
 from tiny_audio_tpu.config import ASRConfig, compute_encoder_output_length
-from tiny_audio_tpu.generation import GenerationConfig, generate_tokens, stream_generate
+from tiny_audio_tpu.generation import (
+    GenerationConfig,
+    generate_beams,
+    generate_tokens,
+    stream_generate,
+)
 from tiny_audio_tpu.models.decoder import Qwen3Decoder
 from tiny_audio_tpu.models.encoder import AudioEncoder
 from tiny_audio_tpu.models.projectors import create_projector
@@ -282,6 +287,10 @@ class ASRModel:
         )
         audio_mask = (input_ids == self.tokenizer.audio_token_id) & prompt_mask.astype(bool)
         inputs_embeds = splice_audio(text_embeds, audio_mask, audio_embeds)
+        if gen.num_beams > 1:
+            return generate_beams(
+                self.decoder, {"params": params["decoder"]}, inputs_embeds, gen
+            )
         return generate_tokens(
             self.decoder, {"params": params["decoder"]},
             inputs_embeds, input_ids, gen,

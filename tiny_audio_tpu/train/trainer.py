@@ -53,6 +53,7 @@ class TrainingConfig:
     eval_batches: int = 16
     early_stopping_patience: int = 0  # 0 = disabled
     resume_from_checkpoint: bool = False
+    group_by_length: bool = False
     seed: int = 0
     # mesh
     dp: Optional[int] = None
@@ -96,6 +97,12 @@ class _Prefetcher:
             yield item
 
 
+def _audio_len(row: dict) -> int:
+    audio = row.get("audio")
+    arr = audio.get("array") if isinstance(audio, dict) else audio
+    return 0 if arr is None else int(np.asarray(arr).shape[-1])
+
+
 def batch_iterator(
     dataset,
     collator,
@@ -104,19 +111,40 @@ def batch_iterator(
     epochs: Optional[int] = None,
     transform: Optional[Callable[[dict], dict]] = None,
     drop_last: bool = True,
+    group_by_length: bool = False,
+    length_window: int = 50,
 ):
     """Shuffled epoch loop -> collated numpy batches.
 
     ``dataset``: any sequence of feature dicts (HF map-style dataset works).
     ``transform``: per-sample augmentation applied on the host
     (the reference's ``with_transform`` wiring, train.py:558-587).
+    ``group_by_length``: sort by audio length inside shuffled windows of
+    ``length_window * batch_size`` samples and shuffle the resulting batch
+    order — the reference's HF ``group_by_length`` (production.yaml), which
+    on TPU also concentrates each batch into one mel bucket (less padding
+    compute, fewer compiled shapes per step).
     """
     rng = np.random.default_rng(seed)
     n = len(dataset)
     epoch = 0
     while epochs is None or epoch < epochs:
         order = rng.permutation(n)
-        for i in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
+        if group_by_length:
+            window = max(length_window * batch_size, batch_size)
+            reordered = []
+            for w in range(0, n, window):
+                idx = order[w : w + window]
+                lengths = np.array([_audio_len(dataset[int(j)]) for j in idx])
+                reordered.append(idx[np.argsort(lengths, kind="stable")])
+            order = np.concatenate(reordered)
+            starts = np.arange(0, n - (batch_size - 1 if drop_last else 0),
+                               batch_size)
+            rng.shuffle(starts)
+        else:
+            starts = range(0, n - (batch_size - 1 if drop_last else 0),
+                           batch_size)
+        for i in starts:
             rows = [dataset[int(j)] for j in order[i : i + batch_size]]
             if transform is not None:
                 rows = [transform(r) for r in rows]
@@ -348,6 +376,7 @@ class Trainer:
             batch_iterator(
                 self.train_dataset, self.collator, global_bs,
                 seed=cfg.seed, transform=self.transform,
+                group_by_length=cfg.group_by_length,
             ),
             depth=cfg.prefetch_depth,
         )
