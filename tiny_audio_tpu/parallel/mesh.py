@@ -53,6 +53,11 @@ _PARAM_RULES: list[tuple[str, P]] = [
     (r"encoder/.*(q_proj|k_proj|v_proj|fc1)/kernel", P(None, None, "tp")),
     (r"encoder/.*(out_proj|fc2)/kernel", P(None, "tp", None)),
     (r"encoder/.*(q_proj|v_proj|fc1)/bias", P(None, "tp")),
+    # MoE projector: stacked experts [E, ...] sharded over tp (expert
+    # parallelism — each chip holds E/tp experts; the dense-dispatch einsum
+    # partitions on the expert axis with one reduce at the gate sum)
+    (r"projector/experts_fc\d_kernel", P("tp", None, None)),
+    (r"projector/experts_fc\d_bias", P("tp", None)),
     # Everything else replicated
     (r".*", P()),
 ]
