@@ -78,6 +78,11 @@ int64_t ta_wav_decode(const uint8_t* bytes, int64_t n, float* out) {
     int32_t rate, channels, bits, fmt;
     if (wav_parse(bytes, n, &frames, &rate, &channels, &bits, &fmt, &off, &size))
         return -1;
+    // Only plain PCM (1) and IEEE float (3) are supported; anything else
+    // (A-law/mu-law 6/7, WAVE_FORMAT_EXTENSIBLE 0xFFFE, ...) must fall back
+    // to the caller's stdlib path rather than be mis-decoded as PCM.
+    if (fmt != 1 && fmt != 3) return -3;
+    if (fmt == 3 && bits != 32) return -3;
     const uint8_t* d = bytes + off;
     const double inv_ch = 1.0 / channels;
     for (int64_t i = 0; i < frames; i++) {

@@ -390,3 +390,35 @@ class TestHubStaging:
 
         with pytest.raises(FileNotFoundError):
             stage_artifact(tmp_path)
+
+
+class TestReviewRegressions:
+    """Pinned regressions from the round-1 code review."""
+
+    def test_mcq_article_not_letter_answer(self):
+        choices = ["a dog barking", "piano music", "rain falling", "a car engine"]
+        # free text containing the article "a" must match by substring,
+        # not be misread as choice A
+        assert match_choice("It is a dog barking", choices) == 0  # substring
+        assert match_choice("maybe rain falling outside", choices) == 2
+        assert match_choice("i think it is piano music", choices) == 1
+
+    def test_empty_prediction_parses(self, tmp_path):
+        from tiny_audio_tpu.analysis import parse_results_file
+        from tiny_audio_tpu.eval.cli import save_asr_results
+        from tiny_audio_tpu.eval.evaluators.base import EvalResult
+
+        out = save_asr_results(
+            "m", "d", [EvalResult("some reference", "", 100.0)], {}, str(tmp_path)
+        )
+        rows = parse_results_file(out / "results.txt")
+        assert len(rows) == 1 and rows[0]["prediction"] == ""
+        assert rows[0]["wer"] == 100.0
+
+    def test_corpus_wer_reuses_counts(self):
+        ev = _EchoEvaluator()
+        results, metrics = ev.evaluate(
+            [{"audio": {}, "text": "a b"}], verbose=False
+        )
+        assert "counts" in results[0].extra
+        assert metrics["corpus_wer"] == 0.0

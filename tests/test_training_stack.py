@@ -316,3 +316,53 @@ class TestGroupByLength:
 
         list(batch_iterator(rows, collator, 4, epochs=1, group_by_length=True))
         assert sorted(map(int, texts)) == list(range(32))
+
+
+class TestReviewRegressions:
+    def test_empty_epoch_raises(self):
+        from tiny_audio_tpu.train.trainer import batch_iterator
+
+        rows = [{"audio": {"array": np.zeros(100)}, "text": "x"}] * 4
+        it = batch_iterator(rows, lambda b: {}, batch_size=48, drop_last=True)
+        with pytest.raises(ValueError, match="no batches"):
+            next(it)
+
+    @pytest.mark.slow
+    def test_max_steps_counts_optimizer_updates(self, tmp_path):
+        """With accumulation k, max_steps counts UPDATES: the loop consumes
+        k x max_steps micro-batches (HF semantics; review finding #1)."""
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.train.collator import DataCollator
+        from tiny_audio_tpu.train.optim import OptimizerConfig
+        from tiny_audio_tpu.train.trainer import Trainer, TrainingConfig
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        collator = DataCollator(
+            model.tokenizer, model.projector,
+            num_mel_bins=model.config.encoder.num_mel_bins,
+        )
+        rows = synthetic_dataset(12, seed=0, min_s=0.3, max_s=0.6)
+        micro_batches = []
+        orig_call = collator.__call__
+        collator_calls = {"n": 0}
+
+        class CountingCollator:
+            def __call__(self, batch):
+                collator_calls["n"] += 1
+                return orig_call(batch)
+
+        config = TrainingConfig(
+            output_dir=str(tmp_path / "run"),
+            max_steps=2, per_device_batch_size=1,
+            gradient_accumulation_steps=3,
+            logging_steps=1, save_steps=0, eval_steps=0,
+            optimizer=OptimizerConfig(
+                total_steps=2, warmup_steps=0, lr_scheduler_type="constant"
+            ),
+        )
+        trainer = Trainer(model, config, rows, CountingCollator())
+        result = trainer.train()
+        assert result["final_step"] == 2
+        # 2 updates x 3 micro-batches each (prefetcher may run 1-2 ahead)
+        assert collator_calls["n"] >= 6

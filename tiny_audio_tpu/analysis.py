@@ -23,8 +23,10 @@ def parse_results_file(results_path: Path) -> list[dict]:
     content = Path(results_path).read_text()
     for block in content.split("-" * 80):
         sample_m = re.search(r"Sample (\d+) - WER: ([\d.]+)%", block)
-        gt_m = re.search(r"Ground Truth: (.+?)(?:\n|$)", block)
-        pred_m = re.search(r"Prediction:\s*(.+?)(?:\n|$)", block)
+        gt_m = re.search(r"Ground Truth: (.*)", block)
+        # (.*) not (.+): empty predictions — the WER-100% failures triage
+        # exists to surface — must parse too
+        pred_m = re.search(r"Prediction:[ \t]*(.*)", block)
         if sample_m and gt_m and pred_m:
             gt = gt_m.group(1).strip()
             samples.append(

@@ -74,6 +74,7 @@ class Evaluator:
         return EvalResult(
             reference=reference, prediction=prediction,
             wer=100.0 * counts.wer, time_s=dt,
+            extra={"counts": counts},
         )
 
     def evaluate(
@@ -119,14 +120,18 @@ class Evaluator:
     # --------------------------------------------------------------- metrics
 
     def compute_metrics(self, results: list[EvalResult]) -> dict:
-        """Corpus WER over normalized text (reference base.py:218-227)."""
+        """Corpus WER over normalized text (reference base.py:218-227).
+        Per-sample alignments are reused from the eval loop; only error
+        rows (no counts cached) are re-aligned."""
         if not results:
             return {"corpus_wer": 0.0, "num_samples": 0}
         total = None
         for r in results:
-            ref_n = self.normalizer.normalize(r.reference)
-            hyp_n = self.normalizer.normalize(r.prediction)
-            c = align_counts(ref_n.split(), hyp_n.split())
+            c = r.extra.get("counts")
+            if c is None:
+                ref_n = self.normalizer.normalize(r.reference)
+                hyp_n = self.normalizer.normalize(r.prediction)
+                c = align_counts(ref_n.split(), hyp_n.split())
             total = c if total is None else total + c
         times = [r.time_s for r in results]
         return {

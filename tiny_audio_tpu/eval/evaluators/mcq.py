@@ -46,16 +46,17 @@ def match_choice(prediction: str, choices: list[str]) -> Optional[int]:
     m = re.match(r"^\(?([A-Za-z])[\).:\s]", pred + " ")
     if m and m.group(1).upper() in letters:
         return letters.index(m.group(1).upper())
-    # 3. letter mentioned anywhere as standalone token
-    tokens = re.findall(r"\b([A-Za-z])\b", pred)
-    for t in tokens:
-        if t.upper() in letters:
-            return letters.index(t.upper())
-    # 4. choice text as substring (longest first to avoid nesting)
+    # 3. choice text as substring (longest first to avoid nesting) — BEFORE
+    # the bare-letter rung, which would otherwise misread the English
+    # articles "a"/"I" inside a free-text answer as choice A/I
     order = sorted(range(len(choices)), key=lambda i: -len(choices[i]))
     for i in order:
         if choices[i].strip().lower() in pred_l:
             return i
+    # 4. UPPERCASE letter mentioned as a standalone token ("the answer is B")
+    for t in re.findall(r"\b([A-Z])\b", pred):
+        if t in letters:
+            return letters.index(t)
     return None
 
 

@@ -59,12 +59,12 @@ def _load() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("TA_DISABLE_NATIVE") == "1":
             return None
-        if not _LIB_PATH.exists() or (
-            _LIB_PATH.stat().st_mtime
-            < (_NATIVE_DIR / "ta_audio.cpp").stat().st_mtime
-        ):
-            if not _build():
-                return None
+        src = _NATIVE_DIR / "ta_audio.cpp"
+        stale = not _LIB_PATH.exists() or (
+            src.exists() and _LIB_PATH.stat().st_mtime < src.stat().st_mtime
+        )  # a prebuilt .so without sources is simply used as-is
+        if stale and not _build():
+            return None
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))
         except OSError:

@@ -77,11 +77,19 @@ def synthetic_rir(
     return (rir / np.abs(rir).max()).astype(np.float32)
 
 
-def _load_wav_dir(directory, limit: int = 256) -> list[np.ndarray]:
+def _load_wav_dir(
+    directory, limit: int = 256, exclude_parts: tuple = ()
+) -> list[np.ndarray]:
+    """Load wavs under ``directory``; paths with any component in
+    ``exclude_parts`` are skipped (e.g. MUSAN's speech/ subtree).  Unreadable
+    files are dropped — path filtering happens here, per file, so a skip can
+    never misalign a separate path list."""
     from tiny_audio_tpu.utils.audio_io import read_wav, resample
 
     out = []
     for p in sorted(Path(directory).rglob("*.wav"))[:limit]:
+        if exclude_parts and any(part in p.parts for part in exclude_parts):
+            continue
         try:
             audio, rate = read_wav(p)
             audio = np.asarray(audio, np.float32).squeeze()
@@ -158,14 +166,7 @@ class NoiseAugmentation:
         self.transients: list[np.ndarray] = []
         if noise_dir and Path(noise_dir).is_dir():
             # exclude speech/ subdirs (MUSAN layout, reference :259-265)
-            self.background = [
-                a
-                for p, a in zip(
-                    sorted(Path(noise_dir).rglob("*.wav"))[:256],
-                    _load_wav_dir(noise_dir),
-                )
-                if "speech" not in p.parts
-            ]
+            self.background = _load_wav_dir(noise_dir, exclude_parts=("speech",))
         if transient_dir and Path(transient_dir).is_dir():
             self.transients = _load_wav_dir(transient_dir)
 

@@ -144,14 +144,23 @@ def batch_iterator(
         else:
             starts = range(0, n - (batch_size - 1 if drop_last else 0),
                            batch_size)
+        yielded = 0
         for i in starts:
             rows = [dataset[int(j)] for j in order[i : i + batch_size]]
             if transform is not None:
                 rows = [transform(r) for r in rows]
             try:
                 yield collator(rows)
+                yielded += 1
             except ValueError:
                 continue  # all rows in the batch were filtered out
+        if yielded == 0:
+            # would spin forever under epochs=None (e.g. dataset smaller than
+            # the global batch with drop_last, or everything filtered)
+            raise ValueError(
+                f"batch_iterator produced no batches in an epoch "
+                f"({n} rows, batch_size={batch_size}, drop_last={drop_last})"
+            )
         epoch += 1
 
 
@@ -383,7 +392,9 @@ class Trainer:
 
         best_eval = float("inf")
         patience_left = cfg.early_stopping_patience
-        step = start_step
+        step = start_step  # OPTIMIZER updates (HF max_steps semantics)
+        accum = max(cfg.gradient_accumulation_steps, 1)
+        micro = start_step * accum
         window_losses: list[float] = []
         t_window = time.time()
 
@@ -395,8 +406,11 @@ class Trainer:
                 self.model.params, self.opt_state, loss, metrics, rng = (
                     self._train_step(self.model.params, self.opt_state, batch, rng)
                 )
-                step += 1
+                micro += 1
                 window_losses.append(float(loss))
+                if micro % accum != 0:
+                    continue  # mid-accumulation: no optimizer update happened
+                step += 1
 
                 if step % cfg.logging_steps == 0:
                     dt = time.time() - t_window
@@ -407,7 +421,8 @@ class Trainer:
                             "ce_loss": float(metrics["ce_loss"]),
                             "aux_loss": float(metrics["aux_loss"]),
                             "grad_norm": float(metrics["grad_norm"]),
-                            "steps_per_s": len(window_losses) / max(dt, 1e-9),
+                            "steps_per_s": (len(window_losses) / accum)
+                            / max(dt, 1e-9),
                         }
                     )
                     window_losses, t_window = [], time.time()
