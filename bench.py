@@ -73,7 +73,7 @@ def main() -> None:
 
     def run_once(device_pcm):
         feats, mask = frontend(device_pcm, lengths)
-        tokens = model.generate(feats, mask)
+        tokens = model.generate(feats, mask, mel_length=n_frames)
         return np.asarray(tokens)
 
     # Warmup / compile

@@ -366,3 +366,53 @@ class TestReviewRegressions:
         assert result["final_step"] == 2
         # 2 updates x 3 micro-batches each (prefetcher may run 1-2 ahead)
         assert collator_calls["n"] >= 6
+
+
+class TestNonFiniteGuard:
+    def test_nan_grad_skips_update(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.train.optim import OptimizerConfig, build_optimizer
+
+        cfg = tiny_test_config(model_dtype="float32")
+        from tiny_audio_tpu.models.asr import ASRModel
+
+        model = ASRModel(cfg, seed=0)
+        tx, _ = build_optimizer(
+            cfg, OptimizerConfig(total_steps=10, warmup_steps=0,
+                                 lr_scheduler_type="constant"), model.params
+        )
+        opt_state = tx.init(model.params)
+        nan_grads = jax.tree_util.tree_map(
+            lambda x: jnp.full_like(x, jnp.nan), model.params
+        )
+        updates, opt_state = tx.update(nan_grads, opt_state, model.params)
+        new_params = __import__("optax").apply_updates(model.params, updates)
+        leaf = new_params["projector"]["linear_1"]["kernel"]
+        old = model.params["projector"]["linear_1"]["kernel"]
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(old))
+
+    def test_finite_grad_still_updates(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.train.optim import OptimizerConfig, build_optimizer
+
+        cfg = tiny_test_config(model_dtype="float32")
+        model = ASRModel(cfg, seed=0)
+        tx, _ = build_optimizer(
+            cfg, OptimizerConfig(total_steps=10, warmup_steps=0,
+                                 lr_scheduler_type="constant"), model.params
+        )
+        opt_state = tx.init(model.params)
+        ones = jax.tree_util.tree_map(jnp.ones_like, model.params)
+        updates, opt_state = tx.update(ones, opt_state, model.params)
+        new_params = optax.apply_updates(model.params, updates)
+        leaf = new_params["projector"]["linear_1"]["kernel"]
+        old = model.params["projector"]["linear_1"]["kernel"]
+        assert float(jnp.abs(leaf - old).max()) > 0

@@ -302,15 +302,24 @@ class ASRModel:
         audio_attention_mask,
         user_prompt: Optional[str] = None,
         system_prompt: Optional[str] = None,
+        mel_length: Optional[int] = None,
         **overrides,
     ) -> np.ndarray:
         """Transcribe a batch.  Returns generated token ids [B, max_new]
-        (pad after EOS), prompt already stripped."""
+        (pad after EOS), prompt already stripped.
+
+        ``mel_length``: batch-max real mel frames when the caller already
+        knows it (the processor does) — skips a device->host sync of the
+        mask sum on the hot path."""
         input_features = jnp.asarray(input_features)
         audio_attention_mask = jnp.asarray(audio_attention_mask)
         b = input_features.shape[0]
 
-        real_mel = int(np.asarray(audio_attention_mask).sum(axis=-1).max())
+        real_mel = (
+            int(mel_length)
+            if mel_length is not None
+            else int(np.asarray(audio_attention_mask).sum(axis=-1).max())
+        )
         n_audio = self._num_audio_tokens(real_mel)
         ids = self.build_prompt_ids(n_audio, user_prompt, system_prompt)
         input_ids = jnp.asarray(np.tile(np.array(ids, np.int32), (b, 1)))

@@ -147,6 +147,7 @@ class ASRPipeline:
                 feats["input_features"],
                 feats["audio_attention_mask"],
                 user_prompt=user_prompt,
+                mel_length=int(np.max(feats["mel_lengths"])),
                 **generate_kwargs,
             )
             texts.append(self.postprocess_tokens(tokens[0]))

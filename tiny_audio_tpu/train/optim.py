@@ -122,6 +122,11 @@ def build_optimizer(config: ASRConfig, opt: OptimizerConfig, params: dict):
         optax.clip_by_global_norm(opt.max_grad_norm),
         optax.multi_transform(transforms, labels),
     )
+    # Non-finite-gradient guard: a NaN/Inf batch skips the update instead of
+    # poisoning params + optimizer state forever (the failure mode the
+    # reference defends against with data filters alone, train.py:284-291);
+    # > max consecutive bad steps re-raises so a systemic NaN still surfaces.
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=10)
     return tx, labels
 
 
