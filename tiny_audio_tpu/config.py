@@ -91,6 +91,11 @@ class DecoderConfig:
     tie_word_embeddings: bool = True
     max_position_embeddings: int = 40960
 
+    # KV-cache storage: "bfloat16" (default) or "int8" (per-entry-scaled
+    # symmetric quantization — halves decode-time cache bandwidth/memory;
+    # serving-mode opt-in via ASRConfig.kv_cache_dtype)
+    kv_cache_dtype: str = "bfloat16"
+
     # LoRA (0 = disabled). Populated from ASRConfig.use_lora/lora_* by
     # ASRModel (stage-2 fine-tuning, reference asr_modeling.py:96-131).
     lora_rank: int = 0
@@ -117,6 +122,7 @@ class ASRConfig:
     audio_model_id: str = "zai-org/GLM-ASR-Nano-2512"
     text_model_id: str = "Qwen/Qwen3-0.6B"
     model_dtype: str = "bfloat16"
+    kv_cache_dtype: str = "bfloat16"  # "int8" = quantized serving cache
     system_prompt: str = "You are a helpful assistant."
 
     # Tower architectures

@@ -343,7 +343,7 @@ def generate_beams(
     def rep(x):  # [., B, ...] -> beam-major [., B*K, ...] along the batch axis
         return jnp.repeat(x, k, axis=1)
 
-    cache = {"k": rep(cache["k"]), "v": rep(cache["v"])}
+    cache = {name: rep(buf) for name, buf in cache.items()}
 
     # first token: top-k of the first distribution seeds the beams
     top_lp, top_tok = jax.lax.top_k(first_logprobs, k)  # [B, K]
@@ -406,8 +406,10 @@ def generate_beams(
         )
         parent_finished = jnp.take_along_axis(st["finished"], beam_idx, axis=1)
         parent_lengths = jnp.take_along_axis(st["lengths"], beam_idx, axis=1)
-        cache_k = new_cache["k"][:, gather.reshape(-1)]
-        cache_v = new_cache["v"][:, gather.reshape(-1)]
+        # reorder every cache buffer (k/v and, when quantized, their scales)
+        new_cache = {
+            name: buf[:, gather.reshape(-1)] for name, buf in new_cache.items()
+        }
 
         tok = jnp.where(parent_finished, gen.pad_token_id, tok)
         tokens = tokens.at[:, :, step].set(tok)
@@ -415,7 +417,7 @@ def generate_beams(
         lengths = jnp.where(parent_finished, parent_lengths, parent_lengths + 1)
 
         return {
-            "cache": {"k": cache_k, "v": cache_v},
+            "cache": new_cache,
             "tokens": tokens,
             "cum": new_cum,
             "cur": tok,

@@ -108,16 +108,18 @@ class ASRModel:
         dtype = jnp.bfloat16 if config.model_dtype == "bfloat16" else jnp.float32
         self.dtype = dtype
         self.encoder = AudioEncoder(config.encoder, dtype=dtype, param_dtype=dtype)
+        import dataclasses as _dc
+
         dec_cfg = config.decoder
         if config.use_lora:
-            import dataclasses as _dc
-
             dec_cfg = _dc.replace(
                 dec_cfg,
                 lora_rank=config.lora_rank,
                 lora_alpha=float(config.lora_alpha),
                 lora_targets=tuple(config.lora_target_modules),
             )
+        if config.kv_cache_dtype != dec_cfg.kv_cache_dtype:
+            dec_cfg = _dc.replace(dec_cfg, kv_cache_dtype=config.kv_cache_dtype)
         self.decoder = Qwen3Decoder(dec_cfg, dtype=dtype, param_dtype=dtype)
         self.projector = create_projector(config, dtype=dtype, param_dtype=jnp.float32)
         self.tokenizer = tokenizer or ByteTokenizer(config.decoder.vocab_size)

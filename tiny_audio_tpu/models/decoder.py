@@ -33,6 +33,21 @@ from tiny_audio_tpu.models.layers import (
 )
 
 
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-entry symmetric int8 quantization over the head dim.
+
+    x: [..., D] bf16/f32 -> (int8 [..., D], f32 scale [...]).
+    Halves KV-cache bandwidth/memory at ~0.4% RMS error per entry
+    (serving opt-in: DecoderConfig.kv_cache_dtype="int8").
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def make_causal_mask(attention_mask: jax.Array) -> jax.Array:
     """[B, T] padding mask -> [B, 1, T, T] causal+padding boolean mask."""
     t = attention_mask.shape[-1]
@@ -111,11 +126,13 @@ class Qwen3Block(nn.Module):
         )
 
         if layer_cache is not None:
-            cache_k, cache_v = layer_cache
-            new_cache = (k.astype(cache_k.dtype), v.astype(cache_v.dtype))
+            cache_k, cache_v = layer_cache[0], layer_cache[1]
+            scales = layer_cache[2:] if len(layer_cache) > 2 else (None, None)
+            new_cache = (k.astype(self.dtype), v.astype(self.dtype))
             if t == 1:  # decode step: stale cache + fresh self position
                 out = decode_step_attention(
-                    q, cache_k, cache_v, step_kv_valid, fresh_k=k, fresh_v=v
+                    q, cache_k, cache_v, step_kv_valid, fresh_k=k, fresh_v=v,
+                    k_scale=scales[0], v_scale=scales[1],
                 )
             else:  # prefill: causal attention over the fresh K/V only
                 out = causal_self_attention(q, k, v, padding_mask)
@@ -191,7 +208,14 @@ class Qwen3Decoder(nn.Module):
         cos, sin = rotary_embed(positions, cfg.head_dim, cfg.rope_theta)
         x = inputs_embeds.astype(self.dtype)
 
-        layer_cache = None if cache is None else (cache["k"], cache["v"])
+        layer_cache = None
+        if cache is not None:
+            if "k_scale" in cache:
+                layer_cache = (
+                    cache["k"], cache["v"], cache["k_scale"], cache["v_scale"]
+                )
+            else:
+                layer_cache = (cache["k"], cache["v"])
         x, fresh_kv = self.layers(
             x, layer_cache, cos, sin, padding_mask, step_kv_valid, cache_index
         )
@@ -206,19 +230,42 @@ class Qwen3Decoder(nn.Module):
         new_cache = None
         if cache is not None:
             # single write for all layers: fresh_kv is [L, B, T, Hkv, D]
-            new_cache = {
-                "k": jax.lax.dynamic_update_slice(
-                    cache["k"], fresh_kv[0], (0, 0, cache_index, 0, 0)
-                ),
-                "v": jax.lax.dynamic_update_slice(
-                    cache["v"], fresh_kv[1], (0, 0, cache_index, 0, 0)
-                ),
-            }
+            if cfg.kv_cache_dtype == "int8":
+                k_q, k_s = quantize_kv(fresh_kv[0])
+                v_q, v_s = quantize_kv(fresh_kv[1])
+                idx5 = (0, 0, cache_index, 0, 0)
+                idx4 = (0, 0, cache_index, 0)
+                new_cache = {
+                    "k": jax.lax.dynamic_update_slice(cache["k"], k_q, idx5),
+                    "v": jax.lax.dynamic_update_slice(cache["v"], v_q, idx5),
+                    "k_scale": jax.lax.dynamic_update_slice(
+                        cache["k_scale"], k_s, idx4
+                    ),
+                    "v_scale": jax.lax.dynamic_update_slice(
+                        cache["v_scale"], v_s, idx4
+                    ),
+                }
+            else:
+                new_cache = {
+                    "k": jax.lax.dynamic_update_slice(
+                        cache["k"], fresh_kv[0], (0, 0, cache_index, 0, 0)
+                    ),
+                    "v": jax.lax.dynamic_update_slice(
+                        cache["v"], fresh_kv[1], (0, 0, cache_index, 0, 0)
+                    ),
+                }
         return (logits if logits is not None else x), new_cache
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
         cfg = self.cfg
         shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        if cfg.kv_cache_dtype == "int8":
+            return {
+                "k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+                "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+            }
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 

@@ -162,6 +162,8 @@ def decode_step_attention(
     kv_valid: jax.Array,
     fresh_k: Optional[jax.Array] = None,
     fresh_v: Optional[jax.Array] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """q_len==1 attention over the KV cache.  kv_valid: [B, S] or [S].
 
@@ -172,6 +174,11 @@ def decode_step_attention(
     per-layer ``dynamic_update_slice`` + scan-output restack costs a full
     cache copy every decode step (measured 6.3 -> 3.8 ms/step on v5e for
     the 0.6B decoder, ~40%).
+
+    ``k_scale``/``v_scale`` ([B, S, Hkv]): the cache holds per-entry-scaled
+    int8 (DecoderConfig.kv_cache_dtype="int8"); scales fold into the score
+    and probability tensors, so dequantization never materializes a bf16
+    cache copy.
     """
     if kv_valid.ndim == 1:
         kv_valid = kv_valid[None, :]
@@ -185,10 +192,14 @@ def decode_step_attention(
     scale = d ** -0.5
     from tiny_audio_tpu.models.layers import MASK_VALUE
 
+    compute_dtype = q.dtype
     qg = q.reshape(b, hkv, group, d)
     scores = jnp.einsum(
-        "bhgd,bkhd->bhgk", qg, cache_k, preferred_element_type=jnp.float32
+        "bhgd,bkhd->bhgk", qg, cache_k.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
     ) * scale
+    if k_scale is not None:
+        scores = scores * k_scale.transpose(0, 2, 1)[:, :, None, :]
     scores = jnp.where(
         kv_valid.astype(bool)[:, None, None, :], scores, MASK_VALUE
     )
@@ -199,11 +210,15 @@ def decode_step_attention(
     probs = jax.nn.softmax(
         jnp.concatenate([scores, self_score], axis=-1), axis=-1
     )
+    cache_probs = probs[..., :-1]
+    if v_scale is not None:  # fold dequant scale into the probabilities
+        cache_probs = cache_probs * v_scale.transpose(0, 2, 1)[:, :, None, :]
     out = jnp.einsum(
-        "bhgk,bkhd->bhgd", probs[..., :-1].astype(cache_v.dtype), cache_v,
+        "bhgk,bkhd->bhgd", cache_probs.astype(compute_dtype),
+        cache_v.astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
-    out = out + probs[..., -1:].astype(cache_v.dtype) * fresh_v.reshape(
+    out = out + probs[..., -1:].astype(compute_dtype) * fresh_v.reshape(
         b, hkv, 1, d
-    )
+    ).astype(compute_dtype)
     return out.reshape(b, 1, hq, d).astype(q.dtype)
