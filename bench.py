@@ -81,15 +81,20 @@ def main() -> None:
     run_once(put(audio_i16))
     compile_s = time.time() - t0
 
-    # Timed runs with pipelined transfer: batch N+1's device_put is issued
-    # before blocking on batch N (steady-state serving overlap).
+    # Timed runs with pipelined transfer: batch N+1's host->device copy runs
+    # on a background thread while batch N computes (steady-state serving
+    # overlap; device_put releases the GIL during the copy).
+    from concurrent.futures import ThreadPoolExecutor
+
     iters = 3
-    pending = put(audio_i16)
-    t0 = time.time()
-    for _ in range(iters):
-        current, pending = pending, put(audio_i16)
-        run_once(current)
-    wall = (time.time() - t0) / iters
+    with ThreadPoolExecutor(1) as pool:
+        pending = pool.submit(put, audio_i16)
+        t0 = time.time()
+        for _ in range(iters):
+            current = pending.result()
+            pending = pool.submit(put, audio_i16)
+            run_once(current)
+        wall = (time.time() - t0) / iters
 
     rtfx = batch * clip_seconds / wall
     result = {
