@@ -182,8 +182,8 @@ def add_eval_parser(subparsers) -> None:
     p.add_argument("-d", "--datasets", nargs="+", required=True)
     p.add_argument("-n", "--num-samples", type=int, default=None)
     p.add_argument("--backend", default="local",
-                   choices=["local", "local-streaming", "endpoint",
-                            "assemblyai", "deepgram", "elevenlabs"])
+                   choices=["local", "local-streaming", "endpoint", "assemblyai",
+                            "assemblyai-streaming", "deepgram", "elevenlabs"])
     p.add_argument("--output-dir", default="outputs")
     p.add_argument("--num-workers", type=int, default=1)
     p.add_argument("--endpoint-url", default=None)

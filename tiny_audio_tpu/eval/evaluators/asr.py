@@ -155,6 +155,78 @@ class AssemblyAIEvaluator(Evaluator):
         return st.get("text") or ""
 
 
+class AssemblyAIStreamingEvaluator(Evaluator):
+    """AssemblyAI realtime websocket API, 100 ms PCM chunks
+    (reference asr.py:271-352 streams via the assemblyai SDK; here the raw
+    v3 websocket protocol with the same chunking/turn semantics)."""
+
+    CHUNK_BYTES = 3200  # 100 ms of 16 kHz 16-bit mono
+
+    def __init__(self, base_url: Optional[str] = None, num_workers: int = 1):
+        super().__init__(model_name="assemblyai-streaming", num_workers=num_workers)
+        self.api_key = os.environ.get("ASSEMBLYAI_API_KEY")
+        if not self.api_key:
+            raise RuntimeError("ASSEMBLYAI_API_KEY not set")
+        self.url = (
+            base_url
+            or "wss://streaming.assemblyai.com/v3/ws"
+        ) + "?sample_rate=16000&format_turns=true"
+        self.ttfbs: list[float] = []
+
+    def transcribe(self, audio: dict, sample: dict) -> str:
+        import websocket  # websocket-client
+
+        arr = np.asarray(audio["array"], np.float32)
+        peak = np.abs(arr).max()
+        if peak > 1.0:
+            arr = arr / peak
+        pcm = (arr * 32767).astype(np.int16).tobytes()
+
+        ws = websocket.create_connection(
+            self.url, header={"Authorization": self.api_key}, timeout=30
+        )
+        transcripts: dict[int, str] = {}
+        first = None
+        t0 = time.time()
+        try:
+            for i in range(0, len(pcm), self.CHUNK_BYTES):
+                ws.send_binary(pcm[i : i + self.CHUNK_BYTES])
+                ws.settimeout(0.01)
+                try:
+                    msg = json.loads(ws.recv())
+                    if msg.get("type") == "Turn":
+                        if first is None:
+                            first = time.time() - t0
+                        transcripts[msg.get("turn_order", 0)] = msg.get(
+                            "transcript", ""
+                        )
+                except Exception:
+                    pass
+                time.sleep(0.02)
+            ws.settimeout(5.0)
+            ws.send(json.dumps({"type": "Terminate"}))
+            while True:
+                try:
+                    msg = json.loads(ws.recv())
+                except Exception:
+                    break
+                if msg.get("type") == "Turn":
+                    transcripts[msg.get("turn_order", 0)] = msg.get("transcript", "")
+                if msg.get("type") == "Termination":
+                    break
+        finally:
+            ws.close()
+        if first is not None:
+            self.ttfbs.append(first)
+        return " ".join(t for _, t in sorted(transcripts.items()) if t)
+
+    def compute_metrics(self, results) -> dict:
+        metrics = super().compute_metrics(results)
+        if self.ttfbs:
+            metrics["ttfb_avg_s"] = float(np.mean(self.ttfbs))
+        return metrics
+
+
 class DeepgramEvaluator(Evaluator):
     """Deepgram nova-3 batch API (reference asr.py:355-397)."""
 
@@ -210,6 +282,7 @@ BACKENDS = {
     "local-streaming": LocalStreamingEvaluator,
     "endpoint": EndpointEvaluator,
     "assemblyai": AssemblyAIEvaluator,
+    "assemblyai-streaming": AssemblyAIStreamingEvaluator,
     "deepgram": DeepgramEvaluator,
     "elevenlabs": ElevenLabsEvaluator,
 }
