@@ -51,7 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     demo.set_defaults(func=_cmd_demo)
 
     dev = sub.add_parser("dev", help="Developer tasks")
-    dev.add_argument("task", choices=["test", "lint", "coverage"])
+    dev.add_argument(
+        "task",
+        choices=["test", "lint", "format", "type-check", "coverage",
+                 "build-native"],
+    )
     dev.set_defaults(func=_cmd_dev)
 
     return parser
@@ -92,14 +96,25 @@ def _cmd_demo(args) -> int:
 
 def _cmd_dev(args) -> int:
     import subprocess
+    from pathlib import Path
 
+    repo = Path(__file__).resolve().parent.parent
     cmds = {
         "test": [sys.executable, "-m", "pytest", "tests/", "-x", "-q"],
         "lint": [sys.executable, "-m", "ruff", "check", "tiny_audio_tpu", "tests"],
+        "format": [sys.executable, "-m", "ruff", "format", "tiny_audio_tpu",
+                   "tests", "scripts"],
+        "type-check": [sys.executable, "-m", "mypy", "tiny_audio_tpu",
+                       "--ignore-missing-imports"],
         "coverage": [sys.executable, "-m", "pytest", "tests/", "-q",
                      "--cov=tiny_audio_tpu"],
+        "build-native": ["make", "-C", str(repo / "native")],
     }
-    return subprocess.call(cmds[args.task])
+    try:
+        return subprocess.call(cmds[args.task])
+    except FileNotFoundError as e:
+        print(f"tool unavailable: {e}", file=sys.stderr)
+        return 1
 
 
 def main(argv=None) -> int:
