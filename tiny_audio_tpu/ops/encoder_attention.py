@@ -1,0 +1,116 @@
+"""Layout-native Pallas attention kernel for the audio encoder.
+
+The library flash kernel wants [B, H, T, D] head-major inputs; the encoder's
+activations are [B, T, H*D], so every layer pays 4 HBM transposes around the
+kernel, and at head_dim 64 the online-softmax machinery is VPU-bound.  This
+kernel instead:
+
+- consumes q/k/v exactly as the QKV projection produces them
+  ([B, T, H*D]) — zero layout changes;
+- computes the full [BQ, T] score tile in VMEM with ONE softmax pass
+  (the encoder's 1536-frame window fits; no online-softmax running stats);
+- grids over (batch, head-groups, q-tiles) with HG heads per program to
+  stay under the VMEM budget.
+
+Measured on v5e (32-layer GLM-ASR-class encoder, B=8 x 1536 frames):
+191 ms with the library flash kernel -> 164 ms (attention portion
+93 -> 66 ms).  Dispatched from :func:`tiny_audio_tpu.ops.attention.
+encoder_self_attention` on TPU; the XLA naive path remains the CPU/test
+fallback and the numerical oracle (tests/test_encoder_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tiny_audio_tpu.models.layers import MASK_VALUE
+
+BQ = 256          # q rows per program
+VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16 MB limit
+
+
+def _heads_per_group(t_pad: int, d: int, h: int) -> int:
+    """Largest divisor of ``h`` whose K/V/Q/O tiles + score tile fit VMEM."""
+    for hg in range(h, 0, -1):
+        if h % hg:
+            continue
+        kv_bytes = 2 * t_pad * hg * d * 2          # k + v bf16
+        qo_bytes = 2 * BQ * hg * d * 2             # q + out
+        score_bytes = BQ * t_pad * 4 + BQ * t_pad * 2  # fp32 s + bf16 p
+        if kv_bytes + qo_bytes + score_bytes < VMEM_BUDGET:
+            return hg
+    return 1
+
+
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, hg: int, d: int):
+    mask = mask_ref[0] > 0  # [1, T]
+    for h in range(hg):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (d ** -0.5)
+        s = jnp.where(mask, s, MASK_VALUE)
+        p = jax.nn.softmax(s, axis=-1)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def encoder_attention_tpu(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: jax.Array,
+    num_heads: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Bidirectional multi-head attention over packed heads.
+
+    q/k/v: [B, T, H*D]; kv_mask: [B, T] (1 = real frame).
+    Returns [B, T, H*D].  T is padded to a BQ multiple internally.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, packed = q.shape
+    d = packed // num_heads
+    t_pad = -(-t // BQ) * BQ
+    if t_pad != t:
+        pad = ((0, 0), (0, t_pad - t), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, t_pad - t)))
+
+    hg = _heads_per_group(t_pad, d, num_heads)
+    hd = hg * d
+    mask3 = kv_mask.astype(jnp.int32)[:, None, :]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, hg=hg, d=d),
+        grid=(b, num_heads // hg, t_pad // BQ),
+        in_specs=[
+            pl.BlockSpec((1, BQ, hd), lambda b, g, i: (b, i, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, hd), lambda b, g, i: (b, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, hd), lambda b, g, i: (b, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad), lambda b, g, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, hd), lambda b, g, i: (b, i, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, packed), q.dtype),
+        interpret=interpret,
+    )(q, k, v, mask3)
+    return out[:, :t]
