@@ -196,6 +196,26 @@ class ASRConfig:
         if isinstance(self.decoder, dict):
             self.decoder = DecoderConfig(**self.decoder)
         self.encoder_conv_layers = [tuple(t) for t in self.encoder_conv_layers]
+        # encoder_conv_layers (token-count formula) and encoder.conv_layers
+        # (the actual conv stack) MUST agree or the <audio> splice silently
+        # mismatches the projector's output length.  A customized encoder
+        # stack wins over the untouched default; conflicting customizations
+        # are an error.
+        enc_layers = [tuple(t) for t in self.encoder.conv_layers]
+        default = [tuple(t) for t in DEFAULT_ENCODER_CONV_LAYERS]
+        if self.encoder_conv_layers != enc_layers:
+            if self.encoder_conv_layers == default:
+                self.encoder_conv_layers = enc_layers
+            elif enc_layers == default:
+                object.__setattr__(
+                    self.encoder, "conv_layers",
+                    tuple(tuple(t) for t in self.encoder_conv_layers),
+                )
+            else:
+                raise ValueError(
+                    "encoder_conv_layers and encoder.conv_layers disagree: "
+                    f"{self.encoder_conv_layers} vs {enc_layers}"
+                )
         if self.encoder_dim is None:
             self.encoder_dim = self.encoder.d_model
         if self.llm_dim is None:

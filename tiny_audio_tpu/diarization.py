@@ -279,7 +279,9 @@ def sliding_windows(
         s1 = min(int(seg_end * sample_rate), len(audio))
         pos = s0
         while pos < s1:
-            chunk = audio[pos : pos + wlen]
+            # clamp to the segment end: reading past s1 would embed the NEXT
+            # speaker's audio into this segment's window (review finding)
+            chunk = audio[pos : min(pos + wlen, s1)]
             if len(chunk) < wlen // 3:  # skip tiny tails
                 break
             if len(chunk) < wlen:
@@ -400,7 +402,8 @@ class SpeakerClusterer:
         bad = ~np.isfinite(emb).all(axis=1)
         if bad.all():
             return np.zeros(emb.shape[0], np.int64)
-        if bad.any():  # replace NaN rows with the mean of good rows
+        if bad.any():  # replace NaN rows with the mean of good rows (on a copy)
+            emb = emb.copy()
             emb[bad] = emb[~bad].mean(axis=0)
         labels = self.cluster(emb, num_speakers=self.num_speakers)
         if self.num_speakers is None:
@@ -530,7 +533,13 @@ class LocalSpeakerDiarizer:
                 out[-1]["end"] = seg["end"]
                 continue
             if seg["end"] - seg["start"] < MIN_FINAL_SEGMENT_S:
-                if out and seg["start"] - out[-1]["end"] < 0.1:
+                # absorb only into an adjacent SAME-speaker run; a short
+                # different-speaker blip is dropped, not relabeled
+                if (
+                    out
+                    and out[-1]["speaker"] == seg["speaker"]
+                    and seg["start"] - out[-1]["end"] < 0.1
+                ):
                     out[-1]["end"] = seg["end"]
                 continue
             out.append(dict(seg))

@@ -178,6 +178,7 @@ def generate_tokens(
         "tokens": tokens0,
         "cur": tok0,
         "finished": finished0,
+        "lengths": jnp.ones((b,), jnp.int32),  # incl. the (possible) EOS
         "seen": seen,
         "step": jnp.int32(1),
         "rng": rng,
@@ -203,6 +204,7 @@ def generate_tokens(
         tok = jnp.where(st["finished"], gen.pad_token_id, tok)
         tokens = st["tokens"].at[:, step].set(tok)
         finished = st["finished"] | is_eos(tok)
+        lengths = jnp.where(st["finished"], st["lengths"], step + 1)
         seen = st["seen"]
         if use_penalty:
             seen = seen.at[jnp.arange(b), tok].set(True)
@@ -211,20 +213,19 @@ def generate_tokens(
             "tokens": tokens,
             "cur": tok,
             "finished": finished,
+            "lengths": lengths,
             "seen": seen,
             "step": step + 1,
             "rng": rng,
         }
 
     state = jax.lax.while_loop(cond, body, state)
-    tokens = state["tokens"]
-    not_pad = tokens != gen.pad_token_id
+    # rows still unfinished ran the full budget (loop-tracked: correct even
+    # when pad_token_id is itself an EOS id, as with the default tokenizer)
     lengths = jnp.where(
-        jnp.any(not_pad, axis=1),
-        gen.max_new_tokens - jnp.argmax(not_pad[:, ::-1], axis=1),
-        0,
+        state["finished"], state["lengths"], gen.max_new_tokens
     )
-    return tokens, lengths.astype(jnp.int32)
+    return state["tokens"], lengths.astype(jnp.int32)
 
 
 def stream_generate(
@@ -238,8 +239,6 @@ def stream_generate(
     """Token-by-token generator (batch size 1): prefill once, then one jitted
     step per token with a host sync — the TTFB-optimized streaming path."""
     assert inputs_embeds.shape[0] == 1, "streaming is defined for batch 1"
-    one_step = dataclasses.replace(gen, max_new_tokens=1, min_new_tokens=0)
-    del one_step  # single-step config not used; loop drives a shared step fn
 
     cfg = decoder.cfg
     b, t, _ = inputs_embeds.shape
@@ -260,7 +259,7 @@ def stream_generate(
         return logits[:, -1].astype(jnp.float32), new_cache
 
     @functools.partial(jax.jit, donate_argnames=("step_cache",))
-    def step_fn(variables, cur, pos, step_cache, seen, key):
+    def step_fn(variables, cur, pos, step_cache, seen, key, eos_active):
         embeds = decoder.apply(variables, cur[:, None], method=Qwen3Decoder.embed)
         kv_valid = (jnp.arange(s) < pos)[None, :].astype(jnp.int32)  # fresh pos appended in-kernel
         logits, new_cache = decoder.apply(
@@ -271,6 +270,8 @@ def stream_generate(
         logits = logits[:, 0].astype(jnp.float32)
         if gen.repetition_penalty != 1.0:
             logits = _apply_repetition_penalty(logits, seen, gen.repetition_penalty)
+        if gen.eos_token_ids:
+            logits = _mask_eos(logits, gen.eos_token_ids, eos_active)
         tok = _select_token(logits, gen, key)
         if gen.repetition_penalty != 1.0:
             seen = seen.at[jnp.arange(b), tok].set(True)
@@ -286,6 +287,10 @@ def stream_generate(
     rng, key = jax.random.split(rng)
     if gen.repetition_penalty != 1.0:
         last_logits = _apply_repetition_penalty(last_logits, seen, gen.repetition_penalty)
+    if gen.min_new_tokens > 0 and gen.eos_token_ids:
+        last_logits = _mask_eos(
+            last_logits, gen.eos_token_ids, jnp.full((b,), True)
+        )
     tok = _select_token(last_logits, gen, key)
     if gen.repetition_penalty != 1.0:
         seen = seen.at[jnp.arange(b), tok].set(True)
@@ -299,7 +304,10 @@ def stream_generate(
         if step == gen.max_new_tokens - 1:
             return
         rng, key = jax.random.split(rng)
-        tok, cache, seen = step_fn(variables, tok, t + step, cache, seen, key)
+        eos_active = jnp.full((b,), step + 1 < gen.min_new_tokens)
+        tok, cache, seen = step_fn(
+            variables, tok, t + step, cache, seen, key, eos_active
+        )
 
 
 def generate_beams(
@@ -307,6 +315,7 @@ def generate_beams(
     variables: Any,
     inputs_embeds: jax.Array,
     gen: GenerationConfig,
+    input_ids: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Beam-search decoding as one fused XLA loop.
 
@@ -318,8 +327,13 @@ def generate_beams(
     every published recipe decodes greedily (asr_config.py:104), so exact HF
     hypothesis-heap semantics are not part of the parity surface.
 
+    Honors ``repetition_penalty`` (per-beam seen-token sets, seeded from
+    ``input_ids`` when given) and ``min_new_tokens`` (EOS masked while
+    active), matching ``generate_tokens``.
+
     Args:
         inputs_embeds: [B, T, H] prompt embeddings (audio already spliced).
+        input_ids: optional [B, T] prompt ids for repetition-penalty seeding.
     Returns:
         (tokens [B, max_new_tokens] int32, pad after EOS; scores [B] float32).
     """
@@ -336,9 +350,23 @@ def generate_beams(
         variables, inputs_embeds, positions,
         padding_mask=jnp.ones((b, t), jnp.int32), cache=cache, cache_index=0,
     )
-    first_logprobs = jax.nn.log_softmax(
-        logits[:, -1].astype(jnp.float32), axis=-1
-    )  # [B, V]
+    first_logits = logits[:, -1].astype(jnp.float32)
+    vocab = first_logits.shape[-1]
+    use_penalty = gen.repetition_penalty != 1.0
+    if use_penalty:
+        seen_prompt = jnp.zeros((b, vocab), dtype=bool)
+        if input_ids is not None:
+            seen_prompt = seen_prompt.at[
+                jnp.arange(b)[:, None], input_ids
+            ].set(True)
+        first_logits = _apply_repetition_penalty(
+            first_logits, seen_prompt, gen.repetition_penalty
+        )
+    if gen.min_new_tokens > 0 and gen.eos_token_ids:
+        first_logits = _mask_eos(
+            first_logits, gen.eos_token_ids, jnp.full((b,), True)
+        )
+    first_logprobs = jax.nn.log_softmax(first_logits, axis=-1)  # [B, V]
 
     def rep(x):  # [., B, ...] -> beam-major [., B*K, ...] along the batch axis
         return jnp.repeat(x, k, axis=1)
@@ -359,6 +387,14 @@ def generate_beams(
     finished0 = is_eos(top_tok)
     lengths0 = jnp.ones((b, k), jnp.int32)
 
+    if use_penalty:
+        seen0 = jnp.repeat(seen_prompt[:, None, :], k, axis=1)  # [B, K, V]
+        seen0 = seen0.at[
+            jnp.arange(b)[:, None], jnp.arange(k)[None, :], top_tok
+        ].set(True)
+    else:
+        seen0 = jnp.zeros((b, k, 1), dtype=bool)  # placeholder
+
     state = {
         "cache": cache,
         "tokens": tokens0,
@@ -366,6 +402,7 @@ def generate_beams(
         "cur": top_tok,                  # [B, K]
         "finished": finished0,
         "lengths": lengths0,
+        "seen": seen0,
         "step": jnp.int32(1),
     }
 
@@ -382,9 +419,18 @@ def generate_beams(
             variables, embeds, jnp.full((b * k, 1), pos, jnp.int32),
             step_kv_valid=kv_valid, cache=st["cache"], cache_index=pos,
         )
-        logprobs = jax.nn.log_softmax(
-            logits[:, 0].astype(jnp.float32), axis=-1
-        ).reshape(b, k, -1)  # [B, K, V]
+        step_logits = logits[:, 0].astype(jnp.float32)
+        if use_penalty:
+            step_logits = _apply_repetition_penalty(
+                step_logits, st["seen"].reshape(b * k, -1),
+                gen.repetition_penalty,
+            )
+        if gen.min_new_tokens > 0 and gen.eos_token_ids:
+            step_logits = _mask_eos(
+                step_logits, gen.eos_token_ids,
+                jnp.full((b * k,), True) & (step < gen.min_new_tokens),
+            )
+        logprobs = jax.nn.log_softmax(step_logits, axis=-1).reshape(b, k, -1)
         v = logprobs.shape[-1]
 
         # finished beams may only extend with pad at zero cost
@@ -406,6 +452,9 @@ def generate_beams(
         )
         parent_finished = jnp.take_along_axis(st["finished"], beam_idx, axis=1)
         parent_lengths = jnp.take_along_axis(st["lengths"], beam_idx, axis=1)
+        seen = st["seen"]
+        if use_penalty:
+            seen = seen.reshape(b * k, -1)[gather.reshape(-1)].reshape(b, k, -1)
         # reorder every cache buffer (k/v and, when quantized, their scales)
         new_cache = {
             name: buf[:, gather.reshape(-1)] for name, buf in new_cache.items()
@@ -415,6 +464,10 @@ def generate_beams(
         tokens = tokens.at[:, :, step].set(tok)
         finished = parent_finished | is_eos(tok)
         lengths = jnp.where(parent_finished, parent_lengths, parent_lengths + 1)
+        if use_penalty:
+            seen = seen.at[
+                jnp.arange(b)[:, None], jnp.arange(k)[None, :], tok
+            ].set(True)
 
         return {
             "cache": new_cache,
@@ -423,6 +476,7 @@ def generate_beams(
             "cur": tok,
             "finished": finished,
             "lengths": lengths,
+            "seen": seen,
             "step": step + 1,
         }
 

@@ -291,7 +291,8 @@ class ASRModel:
         inputs_embeds = splice_audio(text_embeds, audio_mask, audio_embeds)
         if gen.num_beams > 1:
             return generate_beams(
-                self.decoder, {"params": params["decoder"]}, inputs_embeds, gen
+                self.decoder, {"params": params["decoder"]}, inputs_embeds,
+                gen, input_ids=input_ids,
             )
         return generate_tokens(
             self.decoder, {"params": params["decoder"]},

@@ -48,14 +48,6 @@ def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
-def make_causal_mask(attention_mask: jax.Array) -> jax.Array:
-    """[B, T] padding mask -> [B, 1, T, T] causal+padding boolean mask."""
-    t = attention_mask.shape[-1]
-    causal = jnp.tril(jnp.ones((t, t), dtype=bool))
-    pad = attention_mask.astype(bool)[:, None, None, :]
-    return causal[None, None, :, :] & pad
-
-
 class Qwen3Block(nn.Module):
     cfg: DecoderConfig
     dtype: Any = jnp.bfloat16

@@ -50,6 +50,17 @@ def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
     return jnp.pad(x, pads)
 
 
+def _block(t_pad: int) -> int:
+    """Largest flash block size that DIVIDES the padded length — the kernel
+    requires seq_len % block == 0, so min(512, t) crashes at padded lengths
+    like 640/768/1152 (reproduced in review); t_pad is a 128-multiple, so
+    128 always divides."""
+    for b in (512, 256, 128):
+        if t_pad % b == 0:
+            return b
+    return 128
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "scale"))
 def _flash_call(q, k, v, q_seg, kv_seg, causal: bool, scale: float):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -59,8 +70,8 @@ def _flash_call(q, k, v, q_seg, kv_seg, causal: bool, scale: float):
     )
 
     t_q, t_k = q.shape[2], k.shape[2]
-    block_q = min(512, t_q)
-    block_k = min(512, t_k)
+    block_q = _block(t_q)
+    block_k = _block(t_k)
     sizes = BlockSizes(
         block_q=block_q,
         block_k_major=block_k,
