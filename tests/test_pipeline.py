@@ -141,13 +141,16 @@ class TestLongFormChunking:
         calls = []
 
         def fake_generate(feats, mask, **kw):
-            calls.append(np.asarray(feats).shape)
-            return np.zeros((1, 4), np.int32)
+            shape = np.asarray(feats).shape
+            calls.append(shape)
+            return np.zeros((shape[0], 4), np.int32)
 
         monkeypatch.setattr(pipe.model, "generate", fake_generate)
         audio = np.zeros(int(2.5 * 16000), np.float32)
         pipe(audio, chunk_length_s=1.0)
-        assert len(calls) == 3  # 1s + 1s + 0.5s
+        # 2 full 1s chunks batched together + the 0.5s tail separately
+        assert len(calls) == 2
+        assert calls[0][0] == 2 and calls[1][0] == 1
 
     def test_short_audio_single_chunk(self, monkeypatch):
         import numpy as np

@@ -134,15 +134,27 @@ class ASRPipeline:
         chunk_s = chunk_length_s or self.MAX_CHUNK_SECONDS
         chunk_samples = int(chunk_s * audio["sampling_rate"])
 
-        # Long-form: sequential fixed-window chunks, transcripts joined
-        # (the reference inherits HF pipeline chunking, asr_pipeline.py:204-220)
+        # Long-form: fixed-window chunks decoded as ONE batch — decode is
+        # weight-read-bound, so chunks share the weight traffic (the
+        # reference loops chunks sequentially through the HF pipeline,
+        # asr_pipeline.py:204-220)
         waveform = audio["array"]
-        texts = []
+        chunks = []
         for start in range(0, max(len(waveform), 1), chunk_samples):
             chunk = waveform[start : start + chunk_samples]
             if start > 0 and len(chunk) < int(0.2 * audio["sampling_rate"]):
                 break  # ignore sub-200ms tails of long-form audio
-            feats = self.processor.extract_features(chunk)
+            chunks.append(chunk)
+        # decode equal-length chunks together; a shorter tail goes separately
+        # so it does not inherit the batch-max placeholder count
+        groups: list[list[np.ndarray]] = []
+        if len(chunks) > 1 and len(chunks[-1]) < len(chunks[0]):
+            groups = [chunks[:-1], chunks[-1:]]
+        else:
+            groups = [chunks]
+        texts: list[str] = []
+        for group in groups:
+            feats = self.processor.extract_features(group)
             tokens = self.model.generate(
                 feats["input_features"],
                 feats["audio_attention_mask"],
@@ -150,7 +162,9 @@ class ASRPipeline:
                 mel_length=int(np.max(feats["mel_lengths"])),
                 **generate_kwargs,
             )
-            texts.append(self.postprocess_tokens(tokens[0]))
+            texts.extend(
+                self.postprocess_tokens(tokens[i]) for i in range(len(group))
+            )
         result = {"text": " ".join(t for t in texts if t).strip()}
 
         if return_timestamps:
