@@ -165,8 +165,13 @@ class ASRModel:
 
         Returns ([B, T_proj, llm_dim] audio embeds, scalar aux loss).
         """
+        # Stop-gradient the PARAMS (not just the output): the encoder is
+        # always frozen (reference asr_modeling.py:203-237), and cutting
+        # tangents at the input elides the entire encoder backward pass from
+        # the compiled train step instead of computing-then-discarding it.
         hidden = self.encoder.apply(
-            {"params": params["encoder"]}, input_features,
+            {"params": jax.lax.stop_gradient(params["encoder"])},
+            jax.lax.stop_gradient(input_features),
             frame_mask=audio_attention_mask,
         )
         hidden = jax.lax.stop_gradient(hidden)

@@ -64,7 +64,21 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, hg: int, d: int):
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _naive_packed(q, k, v, kv_mask, num_heads):
+    """Reference formula on packed heads (the kernel's backward path)."""
+    b, t, packed = q.shape
+    d = packed // num_heads
+    qh, kh, vh = (x.reshape(b, t, num_heads, d) for x in (q, k, v))
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32) * (d ** -0.5)
+    s = jnp.where(kv_mask.astype(bool)[:, None, None, :], s, MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), vh).reshape(
+        b, t, packed
+    ).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def encoder_attention_tpu(
     q: jax.Array,
     k: jax.Array,
@@ -77,7 +91,40 @@ def encoder_attention_tpu(
 
     q/k/v: [B, T, H*D]; kv_mask: [B, T] (1 = real frame).
     Returns [B, T, H*D].  T is padded to a BQ multiple internally.
+
+    Differentiable via a custom VJP that recomputes through the naive
+    formula (the encoder is frozen in every recipe, so the backward is a
+    correctness safety net, not a hot path).
     """
+    return _encoder_attention_impl(q, k, v, kv_mask, num_heads, interpret)
+
+
+def _attention_fwd(q, k, v, kv_mask, num_heads, interpret):
+    out = _encoder_attention_impl(q, k, v, kv_mask, num_heads, interpret)
+    return out, (q, k, v, kv_mask)
+
+
+def _attention_bwd(num_heads, interpret, residuals, g):
+    q, k, v, kv_mask = residuals
+    _, vjp = jax.vjp(
+        lambda q, k, v: _naive_packed(q, k, v, kv_mask, num_heads), q, k, v
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+encoder_attention_tpu.defvjp(_attention_fwd, _attention_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _encoder_attention_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: jax.Array,
+    num_heads: int,
+    interpret: bool = False,
+) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
