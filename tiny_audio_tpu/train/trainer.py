@@ -210,6 +210,11 @@ class Trainer:
         )
         tx, self.param_labels = build_optimizer(model.config, opt_cfg, model.params)
         if config.gradient_accumulation_steps > 1:
+            # NOTE: MultiSteps accumulates over the FULL param tree, so the
+            # frozen towers cost an extra ~2.4 GB of accumulator HBM even
+            # though their updates are set_to_zero.  Fine at stage-1 batch
+            # sizes on 16 GB; a masked accumulator (trainable leaves only)
+            # is the known improvement if memory gets tight.
             tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
         self.tx = tx
         self.opt_state = tx.init(model.params)
