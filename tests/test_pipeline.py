@@ -152,6 +152,27 @@ class TestLongFormChunking:
         assert len(calls) == 2
         assert calls[0][0] == 2 and calls[1][0] == 1
 
+    def test_longform_batch_capped(self, monkeypatch):
+        import numpy as np
+
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        pipe = ASRPipeline(model)
+        calls = []
+
+        def fake_generate(feats, mask, **kw):
+            shape = np.asarray(feats).shape
+            calls.append(shape[0])
+            return np.zeros((shape[0], 4), np.int32)
+
+        monkeypatch.setattr(pipe.model, "generate", fake_generate)
+        # 20 equal 1 s chunks -> sub-batches of LONGFORM_BATCH (8, 8, 4)
+        pipe(np.zeros(20 * 16000, np.float32), chunk_length_s=1.0)
+        assert calls == [8, 8, 4]
+
     def test_short_audio_single_chunk(self, monkeypatch):
         import numpy as np
 

@@ -161,3 +161,56 @@ class TestDiarizationWindowClamp:
         assert all(s["speaker"] == "SPEAKER_00" for s in out)
         # the blip's time range may be absorbed only into a same-speaker run
         assert out[0]["end"] in (5.0, 8.0)
+
+
+class TestKvCacheDtypeSync:
+    def test_decoder_side_customization_wins(self):
+        from tiny_audio_tpu.config import DecoderConfig
+
+        cfg = tiny_test_config(model_dtype="float32")
+        import dataclasses
+
+        cfg.decoder = dataclasses.replace(cfg.decoder, kv_cache_dtype="int8")
+        model = ASRModel(cfg, seed=0)
+        cache = model.decoder.init_cache(1, 8, dtype=jnp.float32)
+        assert cache["k"].dtype == jnp.int8
+
+    def test_toplevel_customization_wins(self):
+        cfg = tiny_test_config(model_dtype="float32", kv_cache_dtype="int8")
+        model = ASRModel(cfg, seed=0)
+        cache = model.decoder.init_cache(1, 8, dtype=jnp.float32)
+        assert cache["k"].dtype == jnp.int8
+
+
+class TestTrainerNanAbort:
+    def test_sustained_nan_raises(self, tmp_path):
+        from tiny_audio_tpu.train.collator import DataCollator
+        from tiny_audio_tpu.train.data import synthetic_dataset
+        from tiny_audio_tpu.train.optim import OptimizerConfig
+        from tiny_audio_tpu.train.trainer import Trainer, TrainingConfig
+
+        m = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        collator = DataCollator(
+            m.tokenizer, m.projector,
+            num_mel_bins=m.config.encoder.num_mel_bins,
+        )
+        rows = synthetic_dataset(8, seed=0, min_s=0.3, max_s=0.5)
+        trainer = Trainer(
+            m,
+            TrainingConfig(
+                output_dir=str(tmp_path), max_steps=100,
+                per_device_batch_size=1, logging_steps=1000,
+                save_steps=0, eval_steps=0,
+                optimizer=OptimizerConfig(total_steps=100, warmup_steps=0,
+                                          lr_scheduler_type="constant"),
+            ),
+            rows, collator,
+        )
+        # poison the params so every loss is NaN
+        import jax
+
+        trainer.model.params["projector"] = jax.tree_util.tree_map(
+            lambda x: x * jnp.nan, trainer.model.params["projector"]
+        )
+        with pytest.raises(FloatingPointError, match="non-finite"):
+            trainer.train()

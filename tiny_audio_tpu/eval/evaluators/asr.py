@@ -211,6 +211,8 @@ class AssemblyAIStreamingEvaluator(Evaluator):
                 except Exception:
                     break
                 if msg.get("type") == "Turn":
+                    if first is None:  # short clips: first Turn lands here
+                        first = time.time() - t0
                     transcripts[msg.get("turn_order", 0)] = msg.get("transcript", "")
                 if msg.get("type") == "Termination":
                     break

@@ -119,7 +119,16 @@ class ASRModel:
                 lora_targets=tuple(config.lora_target_modules),
             )
         if config.kv_cache_dtype != dec_cfg.kv_cache_dtype:
-            dec_cfg = _dc.replace(dec_cfg, kv_cache_dtype=config.kv_cache_dtype)
+            # non-default side wins; conflicting customizations are an error
+            # (same contract as the encoder_conv_layers sync in config.py)
+            if dec_cfg.kv_cache_dtype == "bfloat16":
+                dec_cfg = _dc.replace(dec_cfg, kv_cache_dtype=config.kv_cache_dtype)
+            elif config.kv_cache_dtype != "bfloat16":
+                raise ValueError(
+                    "kv_cache_dtype disagrees between ASRConfig "
+                    f"({config.kv_cache_dtype!r}) and DecoderConfig "
+                    f"({dec_cfg.kv_cache_dtype!r})"
+                )
         self.decoder = Qwen3Decoder(dec_cfg, dtype=dtype, param_dtype=dtype)
         self.projector = create_projector(config, dtype=dtype, param_dtype=jnp.float32)
         self.tokenizer = tokenizer or ByteTokenizer(config.decoder.vocab_size)

@@ -161,9 +161,12 @@ def encoder_self_attention(
 
     On TPU this dispatches to the layout-native single-pass Pallas kernel
     (ops/encoder_attention.py, ~14% faster than the library flash kernel at
-    the encoder's head_dim-64 shapes); set TA_FORCE_FLASH=1 to compare."""
+    the encoder's head_dim-64 shapes).  TA_FORCE_FLASH=1 forces the library
+    flash kernel; TA_FORCE_FLASH=0 forces the naive XLA path (the on-device
+    numerical oracle); unset uses the custom kernel."""
     b, t, h, d = q.shape
-    if _platform() == "tpu" and os.environ.get("TA_FORCE_FLASH") != "1":
+    force = os.environ.get("TA_FORCE_FLASH")
+    if _platform() == "tpu" and force is None:
         from tiny_audio_tpu.ops.encoder_attention import encoder_attention_tpu
 
         kv_mask = (

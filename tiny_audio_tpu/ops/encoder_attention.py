@@ -65,17 +65,16 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, hg: int, d: int):
 
 
 def _naive_packed(q, k, v, kv_mask, num_heads):
-    """Reference formula on packed heads (the kernel's backward path)."""
+    """Reference formula on packed heads (the kernel's backward path) —
+    delegates to the shared :func:`models.layers.attention` oracle so the
+    two implementations cannot drift."""
+    from tiny_audio_tpu.models.layers import attention as naive_attention
+
     b, t, packed = q.shape
     d = packed // num_heads
     qh, kh, vh = (x.reshape(b, t, num_heads, d) for x in (q, k, v))
-    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
-                   preferred_element_type=jnp.float32) * (d ** -0.5)
-    s = jnp.where(kv_mask.astype(bool)[:, None, None, :], s, MASK_VALUE)
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), vh).reshape(
-        b, t, packed
-    ).astype(q.dtype)
+    mask = kv_mask.astype(bool)[:, None, None, :]
+    return naive_attention(qh, kh, vh, mask=mask).reshape(b, t, packed)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

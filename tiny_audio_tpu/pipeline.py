@@ -114,6 +114,9 @@ class ASRPipeline:
 
     #: encoder window: ~30 s at 16 kHz (MODEL_CARD.md; reference train.py:269-271)
     MAX_CHUNK_SECONDS = 30.0
+    #: max full-length chunks decoded per generate call (bounds compiled
+    #: shapes to <= LONGFORM_BATCH distinct batch sizes and caches ~300 MB)
+    LONGFORM_BATCH = 8
 
     def __call__(
         self,
@@ -146,12 +149,19 @@ class ASRPipeline:
                 break  # ignore sub-200ms tails of long-form audio
             chunks.append(chunk)
         # decode equal-length chunks together; a shorter tail goes separately
-        # so it does not inherit the batch-max placeholder count
-        groups: list[list[np.ndarray]] = []
+        # so it does not inherit the batch-max placeholder count.  Full
+        # chunks are sub-batched to LONGFORM_BATCH: an uncapped batch would
+        # compile one XLA program per distinct chunk COUNT and grow the KV
+        # cache without bound (hour-long file -> batch 119 -> OOM).
+        full, tail = chunks, []
         if len(chunks) > 1 and len(chunks[-1]) < len(chunks[0]):
-            groups = [chunks[:-1], chunks[-1:]]
-        else:
-            groups = [chunks]
+            full, tail = chunks[:-1], chunks[-1:]
+        groups = [
+            full[i : i + self.LONGFORM_BATCH]
+            for i in range(0, len(full), self.LONGFORM_BATCH)
+        ]
+        if tail:
+            groups.append(tail)
         texts: list[str] = []
         for group in groups:
             feats = self.processor.extract_features(group)

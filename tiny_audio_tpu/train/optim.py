@@ -124,9 +124,11 @@ def build_optimizer(config: ASRConfig, opt: OptimizerConfig, params: dict):
     )
     # Non-finite-gradient guard: a NaN/Inf batch skips the update instead of
     # poisoning params + optimizer state forever (the failure mode the
-    # reference defends against with data filters alone, train.py:284-291);
-    # > max consecutive bad steps re-raises so a systemic NaN still surfaces.
-    tx = optax.apply_if_finite(tx, max_consecutive_errors=10)
+    # reference defends against with data filters alone, train.py:284-291).
+    # CAUTION: after max_consecutive_errors optax APPLIES the bad update —
+    # it does not raise — so the Trainer separately watches the loss stream
+    # and aborts on a sustained NaN run before that can happen.
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     return tx, labels
 
 

@@ -401,6 +401,7 @@ class Trainer:
         accum = max(cfg.gradient_accumulation_steps, 1)
         micro = start_step * accum
         window_losses: list[float] = []
+        nonfinite_streak = 0
         t_window = time.time()
 
         with self.mesh:
@@ -412,7 +413,18 @@ class Trainer:
                     self._train_step(self.model.params, self.opt_state, batch, rng)
                 )
                 micro += 1
-                window_losses.append(float(loss))
+                loss_f = float(loss)
+                # apply_if_finite only SKIPS bad updates; a sustained NaN run
+                # means the data/LR is systemically broken — abort before the
+                # guard's error budget runs out and a NaN update is applied.
+                nonfinite_streak = 0 if np.isfinite(loss_f) else nonfinite_streak + 1
+                if nonfinite_streak >= 25:
+                    raise FloatingPointError(
+                        f"loss non-finite for {nonfinite_streak} consecutive "
+                        f"micro-batches at step {step} — aborting before "
+                        "optimizer-state poisoning"
+                    )
+                window_losses.append(loss_f)
                 if micro % accum != 0:
                     continue  # mid-accumulation: no optimizer update happened
                 step += 1
