@@ -214,3 +214,52 @@ class TestTrainerNanAbort:
         )
         with pytest.raises(FloatingPointError, match="non-finite"):
             trainer.train()
+
+
+class TestGradientCheckpointing:
+    def test_remat_matches_plain_grads(self):
+        """Remat must change memory, not math: identical loss and grads."""
+        import jax
+
+        cfg_plain = tiny_test_config(
+            model_dtype="float32", freeze_language_model=False
+        )
+        cfg_remat = tiny_test_config(
+            model_dtype="float32", freeze_language_model=False,
+            gradient_checkpointing=True,
+        )
+        m_plain = ASRModel(cfg_plain, seed=0)
+        m_remat = ASRModel(cfg_remat, seed=0)
+        m_remat.params = jax.tree_util.tree_map(lambda x: x, m_plain.params)
+
+        rng = np.random.default_rng(0)
+        feats = rng.standard_normal(
+            (2, cfg_plain.encoder.num_mel_bins, 50)
+        ).astype(np.float32)
+        ids = np.asarray(
+            m_plain.build_prompt_ids(m_plain._num_audio_tokens(50)) + [5, 6, 7],
+            np.int32,
+        )[None].repeat(2, 0)
+        labels = np.full_like(ids, -100)
+        labels[:, -3:] = ids[:, -3:]
+        batch = {
+            "input_ids": jnp.asarray(ids),
+            "attention_mask": jnp.ones_like(jnp.asarray(ids)),
+            "labels": jnp.asarray(labels),
+            "input_features": jnp.asarray(feats),
+            "audio_attention_mask": jnp.ones((2, 50), jnp.int32),
+        }
+
+        def loss_of(m):
+            def f(p):
+                return m.compute_loss(p, batch, train=False)[0]
+            return jax.value_and_grad(f)(m.params)
+
+        l_plain, g_plain = loss_of(m_plain)
+        l_remat, g_remat = loss_of(m_remat)
+        np.testing.assert_allclose(float(l_plain), float(l_remat), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_plain["decoder"]["layers"]["q_proj"]["kernel"]),
+            np.asarray(g_remat["decoder"]["layers"]["q_proj"]["kernel"]),
+            atol=1e-5,
+        )

@@ -96,6 +96,11 @@ class DecoderConfig:
     # serving-mode opt-in via ASRConfig.kv_cache_dtype)
     kv_cache_dtype: str = "bfloat16"
 
+    # Rematerialize each block in the backward pass (trade FLOPs for
+    # activation memory in stage-3 full fine-tunes; the reference's
+    # gradient_checkpointing, asr_modeling.py:359-370)
+    gradient_checkpointing: bool = False
+
     # LoRA (0 = disabled). Populated from ASRConfig.use_lora/lora_* by
     # ASRModel (stage-2 fine-tuning, reference asr_modeling.py:96-131).
     lora_rank: int = 0
@@ -123,6 +128,7 @@ class ASRConfig:
     text_model_id: str = "Qwen/Qwen3-0.6B"
     model_dtype: str = "bfloat16"
     kv_cache_dtype: str = "bfloat16"  # "int8" = quantized serving cache
+    gradient_checkpointing: bool = False  # remat decoder blocks (stage-3 memory)
     system_prompt: str = "You are a helpful assistant."
 
     # Tower architectures

@@ -118,6 +118,8 @@ class ASRModel:
                 lora_alpha=float(config.lora_alpha),
                 lora_targets=tuple(config.lora_target_modules),
             )
+        if config.gradient_checkpointing and not dec_cfg.gradient_checkpointing:
+            dec_cfg = _dc.replace(dec_cfg, gradient_checkpointing=True)
         if config.kv_cache_dtype != dec_cfg.kv_cache_dtype:
             # non-default side wins; conflicting customizations are an error
             # (same contract as the encoder_conv_layers sync in config.py)

@@ -163,8 +163,17 @@ class Qwen3Decoder(nn.Module):
             param_dtype=self.param_dtype,
             name="embed_tokens",
         )
+        block_cls = Qwen3Block
+        if cfg.gradient_checkpointing:
+            # rematerialize block activations in the backward pass
+            # (reference gradient_checkpointing, asr_modeling.py:359-370)
+            block_cls = nn.remat(
+                Qwen3Block,
+                static_argnums=(),
+                prevent_cse=False,
+            )
         block = nn.scan(
-            Qwen3Block,
+            block_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
