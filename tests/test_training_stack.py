@@ -416,3 +416,94 @@ class TestNonFiniteGuard:
         leaf = new_params["projector"]["linear_1"]["kernel"]
         old = model.params["projector"]["linear_1"]["kernel"]
         assert float(jnp.abs(leaf - old).max()) > 0
+
+
+@pytest.mark.slow
+class TestTrainableOnlyAccumulator:
+    def test_accumulated_equals_big_batch(self):
+        """k accumulation micro-steps == one update on the concatenated
+        batch (clip acts on the mean, HF semantics)."""
+        import jax
+        import jax.numpy as jnp
+
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.train.collator import DataCollator
+        from tiny_audio_tpu.train.optim import (
+            OptimizerConfig,
+            build_optimizer,
+            init_grad_accum,
+            make_accum_steps,
+            make_train_step,
+        )
+
+        cfg = tiny_test_config(model_dtype="float32", audio_token_dropout=0.0)
+        model = ASRModel(cfg, seed=0)
+        collator = DataCollator(
+            model.tokenizer, model.projector,
+            num_mel_bins=cfg.encoder.num_mel_bins,
+        )
+        rows = synthetic_dataset(4, seed=0, min_s=0.4, max_s=0.4)
+        big = collator(rows)
+        micro1 = collator(rows[:2])
+        micro2 = collator(rows[2:])
+        # pad micro batches to identical text length for exact equivalence
+        assert micro1["input_ids"].shape == micro2["input_ids"].shape
+
+        opt_cfg = OptimizerConfig(total_steps=10, warmup_steps=0,
+                                  lr_scheduler_type="constant")
+        tx, labels = build_optimizer(cfg, opt_cfg, model.params)
+
+        # path A: one step on the big batch
+        step = jax.jit(make_train_step(model, tx))
+        rng = jax.random.PRNGKey(0)
+        big_j = {k: jnp.asarray(v) for k, v in big.items()}
+        pA, *_ = step(model.params, tx.init(model.params), big_j, rng)
+
+        # path B: 2 accumulation micro-steps
+        acc_fn, upd_fn = make_accum_steps(model, tx, labels, 2)
+        accum = init_grad_accum(model.params, labels)
+        m1 = {k: jnp.asarray(v) for k, v in micro1.items()}
+        m2 = {k: jnp.asarray(v) for k, v in micro2.items()}
+        p, o, accum, *_ = jax.jit(acc_fn)(
+            model.params, tx.init(model.params), accum, m1, rng
+        )
+        pB, o, accum, *_ = jax.jit(upd_fn)(p, o, accum, m2, rng)
+
+        a = np.asarray(pA["projector"]["linear_1"]["kernel"])
+        b = np.asarray(pB["projector"]["linear_1"]["kernel"])
+        base = np.asarray(model.params["projector"]["linear_1"]["kernel"])
+        # both must move, in (nearly) the same direction/magnitude: the mean
+        # of 2 half-batch grads equals the big-batch grad up to masking of
+        # per-batch valid-token denominators
+        assert np.abs(a - base).max() > 0 and np.abs(b - base).max() > 0
+        cos = (a - base).ravel() @ (b - base).ravel() / (
+            np.linalg.norm(a - base) * np.linalg.norm(b - base)
+        )
+        assert cos > 0.98
+
+    def test_accumulator_is_small_for_frozen(self):
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.train.optim import (
+            OptimizerConfig,
+            build_optimizer,
+            init_grad_accum,
+        )
+        import jax
+
+        cfg = tiny_test_config(model_dtype="float32")
+        model = ASRModel(cfg, seed=0)
+        _, labels = build_optimizer(
+            cfg, OptimizerConfig(total_steps=10), model.params
+        )
+        accum = init_grad_accum(model.params, labels)
+        frozen_elems = sum(
+            np.asarray(a).size
+            for a, lb in zip(
+                jax.tree_util.tree_leaves(accum["encoder"]),
+                jax.tree_util.tree_leaves(labels["encoder"]),
+            )
+        )
+        n_leaves = len(jax.tree_util.tree_leaves(accum["encoder"]))
+        assert frozen_elems == n_leaves  # scalar placeholders only

@@ -150,3 +150,75 @@ def make_train_step(model, tx):
         return params, opt_state, loss, metrics, rng
 
     return train_step
+
+
+def init_grad_accum(params: dict, labels: dict):
+    """Trainable-only gradient accumulator: frozen leaves hold a scalar
+    placeholder, so accumulating over the 1.2 GB frozen towers costs bytes,
+    not gigabytes (vs ``optax.MultiSteps``, which shadows the full tree)."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda p, lb: (
+            jnp.zeros(p.shape, jnp.float32) if lb != "frozen"
+            else jnp.zeros((), jnp.float32)
+        ),
+        params, labels,
+    )
+
+
+def make_accum_steps(model, tx, labels, accum_steps: int):
+    """(accumulate_step, update_step) pair for gradient accumulation.
+
+    ``accumulate_step`` adds the micro-batch gradient into the trainable-only
+    accumulator; ``update_step`` additionally applies the optimizer to the
+    accumulated MEAN (clipping therefore acts on the averaged gradient,
+    matching HF/optax-MultiSteps semantics) and resets the accumulator.
+    The caller alternates them on the host — which step runs is static, so
+    there is no ``lax.cond`` in the compiled graph.
+    """
+    import jax.numpy as jnp
+
+    inv = 1.0 / float(accum_steps)
+
+    def _grads(params, batch, rng):
+        rng, drop, jit_r = jax.random.split(rng, 3)
+
+        def loss_fn(p):
+            return model.compute_loss(
+                p, batch, train=True, rngs={"dropout": drop, "jitter": jit_r}
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, metrics, grads, rng
+
+    def _accumulate(accum, grads):
+        return jax.tree_util.tree_map(
+            lambda a, g, lb: a + g.astype(jnp.float32) if lb != "frozen" else a,
+            accum, grads, labels,
+        )
+
+    def accumulate_step(params, opt_state, accum, batch, rng):
+        loss, metrics, grads, rng = _grads(params, batch, rng)
+        return params, opt_state, _accumulate(accum, grads), loss, metrics, rng
+
+    def update_step(params, opt_state, accum, batch, rng):
+        loss, metrics, grads, rng = _grads(params, batch, rng)
+        accum = _accumulate(accum, grads)
+        mean = jax.tree_util.tree_map(
+            lambda a, g, lb: (
+                (a * inv).astype(g.dtype) if lb != "frozen"
+                else jnp.zeros_like(g)  # set_to_zero leaves; norm-contrib 0
+            ),
+            accum, grads, labels,
+        )
+        metrics["grad_norm"] = optax.global_norm(mean)
+        updates, opt_state = tx.update(mean, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        accum = jax.tree_util.tree_map(
+            lambda a, lb: jnp.zeros_like(a) if lb != "frozen" else a,
+            accum, labels,
+        )
+        return params, opt_state, accum, loss, metrics, rng
+
+    return accumulate_step, update_step

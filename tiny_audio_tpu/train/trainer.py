@@ -6,8 +6,10 @@ loop:
 
 - one jitted train step over a (dp, tp) ``Mesh`` (single-device is the 1x1
   degenerate case) with donated params/opt-state;
-- gradient accumulation via ``optax.MultiSteps`` (the reference uses HF
-  ``gradient_accumulation_steps``);
+- gradient accumulation with a trainable-only accumulator (48 MB for the
+  12M projector instead of MultiSteps' full-tree ~4.8 GB shadow of the
+  frozen towers); host-side alternation of accumulate/update steps keeps
+  ``lax.cond`` out of the compiled graph;
 - host-side batch assembly on a background prefetch thread so the TPU never
   waits on mel/tokenize work (the reference's documented CPU bottleneck,
   configs/experiments/embedded.yaml:36-39);
@@ -209,17 +211,33 @@ class Trainer:
             total_steps=config.max_steps,
         )
         tx, self.param_labels = build_optimizer(model.config, opt_cfg, model.params)
-        if config.gradient_accumulation_steps > 1:
-            # NOTE: MultiSteps accumulates over the FULL param tree, so the
-            # frozen towers cost an extra ~2.4 GB of accumulator HBM even
-            # though their updates are set_to_zero.  Fine at stage-1 batch
-            # sizes on 16 GB; a masked accumulator (trainable leaves only)
-            # is the known improvement if memory gets tight.
-            tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
         self.tx = tx
         self.opt_state = tx.init(model.params)
 
-        self._train_step = self._make_step()
+        self._accum = max(config.gradient_accumulation_steps, 1)
+        if self._accum > 1:
+            # Trainable-only accumulator (48 MB for a 12M projector) instead
+            # of optax.MultiSteps, which shadows the frozen 1.2B towers
+            # (~4.8 GB of accumulator HBM for leaves that update to zero).
+            from tiny_audio_tpu.train.optim import init_grad_accum, make_accum_steps
+
+            self.grad_accum = init_grad_accum(model.params, self.param_labels)
+            acc_fn, upd_fn = make_accum_steps(
+                model, tx, self.param_labels, self._accum
+            )
+            jit_args = dict(
+                in_shardings=(self._param_shardings, None, None, None, None),
+                out_shardings=(
+                    self._param_shardings, None, None, None, None, None
+                ),
+                donate_argnums=(0, 1, 2),
+            )
+            self._accumulate_step = jax.jit(acc_fn, **jit_args)
+            self._update_step = jax.jit(upd_fn, **jit_args)
+            self._train_step = None
+        else:
+            self.grad_accum = None
+            self._train_step = self._make_step()
         self._eval_step = jax.jit(
             lambda p, b: self.model.compute_loss(p, b, train=False)[1]
         )
@@ -409,9 +427,22 @@ class Trainer:
                 if step >= cfg.max_steps:
                     break
                 batch = self._put_batch(batch)
-                self.model.params, self.opt_state, loss, metrics, rng = (
-                    self._train_step(self.model.params, self.opt_state, batch, rng)
-                )
+                if self._accum > 1:
+                    is_update = (micro + 1) % self._accum == 0
+                    fn = self._update_step if is_update else self._accumulate_step
+                    (
+                        self.model.params, self.opt_state, self.grad_accum,
+                        loss, metrics, rng,
+                    ) = fn(
+                        self.model.params, self.opt_state, self.grad_accum,
+                        batch, rng,
+                    )
+                else:
+                    self.model.params, self.opt_state, loss, metrics, rng = (
+                        self._train_step(
+                            self.model.params, self.opt_state, batch, rng
+                        )
+                    )
                 micro += 1
                 loss_f = float(loss)
                 # apply_if_finite only SKIPS bad updates; a sustained NaN run
