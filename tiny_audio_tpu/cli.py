@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     add_push_parser(sub)
 
+    tv = sub.add_parser(
+        "tpu-vm", help="Remote TPU-VM ops (deploy/train/attach/eval)"
+    )
+    tv.add_argument("args", nargs=argparse.REMAINDER)
+    tv.set_defaults(func=_cmd_tpu_vm)
+
     srv = sub.add_parser("serve", help="HTTP transcription server")
     srv.add_argument("-m", "--model", required=True)
     srv.add_argument("--host", default="0.0.0.0")
@@ -75,6 +81,16 @@ def _cmd_train(args) -> int:
     spec.loader.exec_module(mod)
     mod.main(args.overrides)
     return 0
+
+
+def _cmd_tpu_vm(args) -> int:
+    import subprocess
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    return subprocess.call(
+        [sys.executable, str(repo / "scripts" / "tpu_vm.py"), *args.args]
+    )
 
 
 def _cmd_serve(args) -> int:
