@@ -161,6 +161,12 @@ def main(argv=None) -> dict:
         },
     )
 
+    callbacks = []
+    if run.get("push_to_hub_repo"):
+        from tiny_audio_tpu.hub import PushToHubCallback
+
+        callbacks.append(PushToHubCallback(run["push_to_hub_repo"]))
+
     trainer = Trainer(
         model,
         training,
@@ -168,9 +174,19 @@ def main(argv=None) -> dict:
         collator,
         eval_dataset=eval_rows,
         transform=build_augmentation(train_cfg),
+        callbacks=callbacks,
     )
     result = trainer.train()
     model.save_pretrained(Path(training.output_dir) / "model")
+    # final Hub push (reference train.py:644-651, suppressed failures)
+    if run.get("push_to_hub_repo"):
+        import contextlib
+
+        from tiny_audio_tpu.hub import push_to_hub
+
+        with contextlib.suppress(Exception):
+            push_to_hub(Path(training.output_dir) / "model",
+                        run["push_to_hub_repo"])
     print(f"[train] done: {result}")
     return result
 
