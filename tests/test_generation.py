@@ -132,3 +132,107 @@ def test_sampling_reproducible(decoder_and_params, rng):
     a, _ = generate_tokens(decoder, variables, embeds, ids, gen, rng=key)
     b, _ = generate_tokens(decoder, variables, embeds, ids, gen, rng=key)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def naive_ngram_greedy(decoder, variables, embeds, ids, gen):
+    """Independent HF-style oracle: dict of (n-1)-gram -> banned next tokens
+    over the full sequence (prompt + generated), full forward each step."""
+    n = gen.no_repeat_ngram_size
+    b = embeds.shape[0]
+    seqs = [list(map(int, np.asarray(ids)[r])) for r in range(b)]
+    out_tokens = np.full((b, gen.max_new_tokens), gen.pad_token_id, np.int32)
+    finished = np.zeros(b, bool)
+    cur_embeds = embeds
+    for step in range(gen.max_new_tokens):
+        t = cur_embeds.shape[1]
+        positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+        logits, _ = decoder.apply(
+            variables, cur_embeds, positions,
+            padding_mask=jnp.ones((b, t), jnp.int32),
+        )
+        logits = np.array(logits[:, -1], np.float32)
+        for r in range(b):
+            banned = set()
+            seq = seqs[r]
+            ctx = tuple(seq[-(n - 1):]) if n > 1 else ()
+            for i in range(len(seq) - n + 1):
+                if tuple(seq[i:i + n - 1]) == ctx:
+                    banned.add(seq[i + n - 1])
+            for tok_id in banned:
+                logits[r, tok_id] = np.finfo(np.float32).min
+        tok = logits.argmax(-1).astype(np.int32)
+        tok = np.where(finished, gen.pad_token_id, tok)
+        out_tokens[:, step] = tok
+        for r in range(b):
+            seqs[r].append(int(tok[r]))
+        finished |= np.isin(tok, gen.eos_token_ids)
+        if finished.all():
+            break
+        tok_embeds = decoder.apply(variables, jnp.asarray(tok)[:, None],
+                                   method=Qwen3Decoder.embed)
+        cur_embeds = jnp.concatenate([cur_embeds, tok_embeds], axis=1)
+    return out_tokens
+
+
+def test_no_repeat_ngram_matches_naive(decoder_and_params, rng):
+    """HF no_repeat_ngram_size semantics vs an independent dict-based oracle.
+
+    A random-init model loops fast under plain greedy, so n-gram bans really
+    fire here (verified: output differs from the unconstrained decode).
+    """
+    decoder, variables = decoder_and_params
+    b, t = 2, 6
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(b, t)), jnp.int32)
+    embeds = decoder.apply(variables, ids, method=Qwen3Decoder.embed)
+    gen = GenerationConfig(
+        max_new_tokens=24, eos_token_ids=(), pad_token_id=0,
+        no_repeat_ngram_size=2,
+    )
+    tokens, _ = generate_tokens(decoder, variables, embeds, ids, gen)
+    ref = naive_ngram_greedy(decoder, variables, embeds, ids, gen)
+    np.testing.assert_array_equal(np.asarray(tokens), ref)
+
+    # the constraint must actually bite: no bigram repeats in the output
+    for r in range(b):
+        seq = list(np.asarray(ids)[r]) + list(ref[r])
+        bigrams = list(zip(seq, seq[1:]))
+        assert len(bigrams) == len(set(bigrams))
+
+    plain = generate_tokens(
+        decoder, variables, embeds, ids,
+        dataclasses.replace(gen, no_repeat_ngram_size=0),
+    )[0]
+    assert not np.array_equal(np.asarray(plain), ref)
+
+
+def test_no_repeat_ngram_trigram(decoder_and_params, rng):
+    decoder, variables = decoder_and_params
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 5)), jnp.int32)
+    embeds = decoder.apply(variables, ids, method=Qwen3Decoder.embed)
+    gen = GenerationConfig(
+        max_new_tokens=32, eos_token_ids=(), pad_token_id=0,
+        no_repeat_ngram_size=3,
+    )
+    tokens, _ = generate_tokens(decoder, variables, embeds, ids, gen)
+    ref = naive_ngram_greedy(decoder, variables, embeds, ids, gen)
+    np.testing.assert_array_equal(np.asarray(tokens), ref)
+
+
+def test_no_repeat_ngram_streaming_matches_batch(decoder_and_params, rng):
+    decoder, variables = decoder_and_params
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 5)), jnp.int32)
+    embeds = decoder.apply(variables, ids, method=Qwen3Decoder.embed)
+    gen = GenerationConfig(
+        max_new_tokens=16, eos_token_ids=(), pad_token_id=0,
+        no_repeat_ngram_size=2,
+    )
+    batch_tokens, _ = generate_tokens(decoder, variables, embeds, ids, gen)
+    streamed = list(stream_generate(decoder, variables, embeds, ids, gen))
+    np.testing.assert_array_equal(np.asarray(batch_tokens)[0], streamed)
+
+
+def test_no_repeat_ngram_size_one_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        GenerationConfig(no_repeat_ngram_size=1)

@@ -204,7 +204,176 @@ class TestReferenceProjectorConversion:
         from tiny_audio_tpu.convert import convert_reference_projector
 
         with pytest.raises(ValueError):
-            convert_reference_projector({}, "qformer")
+            convert_reference_projector({}, "bogus")
+
+    def test_qformer_blip2_parity(self):
+        """Reference QFormer = Blip2QFormerModel + query/encoder_proj/linear
+        (``/root/reference/tiny_audio/projectors.py:359-475``): build the same
+        torch composite from HF parts, convert, compare forwards."""
+        import math
+
+        from transformers import Blip2QFormerConfig, Blip2QFormerModel
+
+        cfg = tiny_test_config(
+            model_dtype="float32", projector_type="qformer",
+            qformer_hidden_size=32, qformer_num_layers=2, qformer_num_heads=4,
+            qformer_intermediate_size=64, qformer_window_size=15,
+            downsample_rate=5,
+        )
+        hidden, window, nq = 32, 15, 3
+        qcfg = Blip2QFormerConfig(
+            hidden_size=hidden, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, encoder_hidden_size=hidden,
+            cross_attention_frequency=1, hidden_act="gelu",
+            attention_probs_dropout_prob=0.1, hidden_dropout_prob=0.1,
+            layer_norm_eps=1e-12, initializer_range=0.02,
+        )
+        torch.manual_seed(0)
+        qf = Blip2QFormerModel(qcfg).eval().float()
+        query = torch.randn(1, nq, hidden)
+        encoder_proj = torch.nn.Linear(cfg.encoder_dim, hidden, bias=False)
+        linear = torch.nn.Linear(hidden, cfg.llm_dim)
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 40, cfg.encoder_dim)).astype(np.float32)
+        with torch.no_grad():
+            h = encoder_proj(torch.from_numpy(x))
+            b, t, _ = h.shape
+            nblocks = math.ceil(t / window)
+            h = torch.nn.functional.pad(h, (0, 0, 0, nblocks * window - t))
+            h = h.reshape(b * nblocks, window, hidden)
+            out = qf(
+                query_embeds=query.expand(b * nblocks, -1, -1),
+                encoder_hidden_states=h, return_dict=True,
+            ).last_hidden_state
+            expected = linear(out.reshape(b, nblocks * nq, hidden)).numpy()
+
+        sd = {"query": query.numpy()}
+        sd.update({f"encoder_proj.{k}": v for k, v in encoder_proj.state_dict().items()})
+        sd.update({f"linear.{k}": v for k, v in linear.state_dict().items()})
+        sd.update({f"qformer.{k}": v for k, v in qf.state_dict().items()})
+
+        from tiny_audio_tpu.convert import convert_reference_projector
+        from tiny_audio_tpu.models.projectors import QFormerProjector
+
+        params = convert_reference_projector(sd, "qformer")
+        proj = QFormerProjector(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+        got, _ = proj.apply({"params": params}, jnp.asarray(x), train=False)
+        assert got.shape == expected.shape
+        np.testing.assert_allclose(np.asarray(got), expected, atol=3e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+class TestGlmEncoderConversion:
+    """Three-branch encoder loading parity (reference
+    ``/root/reference/tiny_audio/asr_modeling.py:203-237``): GLM-style full
+    checkpoints carry the tower under ``audio_tower.*``; LM keys are dropped."""
+
+    @pytest.fixture(scope="class")
+    def whisper_pair(self):
+        from transformers import WhisperConfig, WhisperModel
+
+        hf_cfg = WhisperConfig(
+            num_mel_bins=80, d_model=64, encoder_layers=2,
+            encoder_attention_heads=4, encoder_ffn_dim=128,
+            decoder_layers=1, decoder_attention_heads=4, decoder_ffn_dim=128,
+            max_source_positions=256,
+            vocab_size=100, pad_token_id=0, bos_token_id=1, eos_token_id=2,
+            decoder_start_token_id=1,
+        )
+        torch.manual_seed(0)
+        encoder = WhisperModel(hf_cfg).encoder.eval().float()
+        cfg = EncoderConfig(
+            num_mel_bins=80, d_model=64, num_layers=2, num_heads=4,
+            ffn_dim=128, max_source_positions=256,
+        )
+        return encoder, cfg
+
+    def _convert_and_run(self, sd, cfg, mel):
+        from tiny_audio_tpu.models.encoder import AudioEncoder, convert_hf_audio_encoder
+
+        params = convert_hf_audio_encoder(sd, cfg, dtype=jnp.float32)
+        model = AudioEncoder(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+        return np.asarray(model.apply({"params": params}, jnp.asarray(mel)))
+
+    def test_audio_tower_prefix_and_lm_drop(self, whisper_pair):
+        encoder, cfg = whisper_pair
+        rng = np.random.default_rng(0)
+        mel = rng.standard_normal((1, 80, 512)).astype(np.float32)
+        with torch.no_grad():
+            expected = encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
+
+        # GLM-style full-model dict: tower under audio_tower.*, plus LM /
+        # projector keys that the converter must drop.
+        sd = {f"audio_tower.{k}": v for k, v in encoder.state_dict().items()}
+        sd["language_model.model.embed_tokens.weight"] = torch.zeros(4, 4)
+        sd["multi_modal_projector.linear.weight"] = torch.zeros(4, 4)
+        got = self._convert_and_run(sd, cfg, mel)
+        np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
+
+    def test_alias_naming_normalized(self, whisper_pair):
+        """GLM/LLM-style renames (o_proj, input_layernorm, mlp.fc1...) land on
+        the same params as whisper naming."""
+        encoder, cfg = whisper_pair
+        renames = [
+            (".self_attn.out_proj.", ".self_attn.o_proj."),
+            (".self_attn_layer_norm.", ".input_layernorm."),
+            (".final_layer_norm.", ".post_attention_layernorm."),
+            (".fc1.", ".mlp.fc1."),
+            (".fc2.", ".mlp.fc2."),
+        ]
+        sd = {}
+        for k, v in encoder.state_dict().items():
+            for new, old in renames:
+                k = k.replace(new, old)
+            sd[f"audio_tower.{k}"] = v
+        rng = np.random.default_rng(1)
+        mel = rng.standard_normal((1, 80, 512)).astype(np.float32)
+        with torch.no_grad():
+            expected = encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
+        got = self._convert_and_run(sd, cfg, mel)
+        np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
+
+    def test_conv_list_naming(self, whisper_pair):
+        """conv stacks exported as list modules (conv_layers.{i}.*) map to
+        conv{i+1}."""
+        encoder, cfg = whisper_pair
+        sd = {}
+        for k, v in encoder.state_dict().items():
+            if k.startswith("conv1."):
+                k = "conv_layers.0." + k[len("conv1."):]
+            elif k.startswith("conv2."):
+                k = "conv_layers.1." + k[len("conv2."):]
+            sd[f"audio_tower.{k}"] = v
+        rng = np.random.default_rng(2)
+        mel = rng.standard_normal((1, 80, 512)).astype(np.float32)
+        with torch.no_grad():
+            expected = encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
+        got = self._convert_and_run(sd, cfg, mel)
+        np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
+
+    def test_unrecognized_layout_raises(self):
+        from tiny_audio_tpu.models.encoder import convert_hf_audio_encoder
+
+        cfg = EncoderConfig(num_mel_bins=80, d_model=64, num_layers=2,
+                            num_heads=4, ffn_dim=128, max_source_positions=256)
+        with pytest.raises(KeyError, match="unrecognized"):
+            convert_hf_audio_encoder(
+                {"audio_tower.something.weird": np.zeros((2, 2), np.float32)},
+                cfg, dtype=jnp.float32,
+            )
+
+    def test_encoder_config_from_hf(self):
+        whisper_json = {
+            "num_mel_bins": 80, "d_model": 64, "encoder_layers": 2,
+            "encoder_attention_heads": 4, "encoder_ffn_dim": 128,
+            "max_source_positions": 256,
+        }
+        cfg = EncoderConfig.from_hf_config(whisper_json)
+        assert (cfg.d_model, cfg.num_layers, cfg.ffn_dim) == (64, 2, 128)
+        glm_json = {"audio_config": dict(whisper_json, d_model=96)}
+        cfg2 = EncoderConfig.from_hf_config(glm_json)
+        assert cfg2.d_model == 96 and cfg2.num_mel_bins == 80
 
 
 class TestLoadStateDict:

@@ -70,6 +70,37 @@ class EncoderConfig:
     def head_dim(self) -> int:
         return self.d_model // self.num_heads
 
+    @staticmethod
+    def from_hf_config(hf: dict) -> "EncoderConfig":
+        """Derive encoder dims from a checkpoint's HF ``config.json`` dict.
+
+        Handles bare Whisper-encoder configs and GLM-ASR-style composite
+        configs where the tower config is nested (``audio_config``) — the
+        offline analogue of the reference's AutoConfig-driven dim
+        auto-detection (``/root/reference/tiny_audio/asr_modeling.py:258-274``).
+        Use this when converting a real checkpoint so the dims are
+        provenance-checked instead of assumed.
+        """
+        enc = hf.get("audio_config") or hf.get("encoder_config") or hf
+        kw = {}
+        for ours, theirs in [
+            ("num_mel_bins", ("num_mel_bins",)),
+            ("d_model", ("d_model", "hidden_size")),
+            ("num_layers", ("encoder_layers", "num_hidden_layers")),
+            ("num_heads", ("encoder_attention_heads", "num_attention_heads")),
+            ("ffn_dim", ("encoder_ffn_dim", "intermediate_size")),
+            ("max_source_positions", ("max_source_positions",)),
+        ]:
+            for name in theirs:
+                if name in enc:
+                    kw[ours] = int(enc[name])
+                    break
+        if "conv_layers" in enc or "encoder_conv_layers" in enc:
+            kw["conv_layers"] = tuple(
+                tuple(t) for t in (enc.get("conv_layers") or enc["encoder_conv_layers"])
+            )
+        return EncoderConfig(**kw)
+
 
 @dataclass(frozen=True)
 class DecoderConfig:

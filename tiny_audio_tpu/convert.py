@@ -131,10 +131,59 @@ def convert_reference_projector(state_dict: dict, projector_type: str,
             ),
         }
 
-    raise ValueError(
-        f"no reference converter for projector_type={projector_type!r} "
-        "(qformer checkpoints use HF Blip2 naming; convert via a custom map)"
-    )
+    if projector_type == "qformer":
+        # Reference QFormer = HF Blip2QFormerModel + query/encoder_proj/linear
+        # (``/root/reference/tiny_audio/projectors.py:359-475``). Blip2 naming:
+        # encoder.layer.{i}.attention.attention.{query,key,value} /
+        # .attention.output.{dense,LayerNorm} / crossattention.* /
+        # intermediate_query.dense / output_query.{dense,LayerNorm}, plus the
+        # model-level embeddings ``layernorm``.
+        def ln(name):
+            return {
+                "scale": lin(f"{name}.weight", transpose=False),
+                "bias": lin(f"{name}.bias", transpose=False),
+            }
+
+        def dense_kb(name):
+            return {
+                "kernel": lin(f"{name}.weight"),
+                "bias": lin(f"{name}.bias", transpose=False),
+            }
+
+        params = {
+            "query": jnp.asarray(sd["query"], dtype),
+            "ln_embed": ln("qformer.layernorm"),
+            "linear": dense_kb("linear"),
+        }
+        if "encoder_proj.weight" in sd:
+            params["encoder_proj"] = {"kernel": lin("encoder_proj.weight")}
+        i = 0
+        while f"qformer.encoder.layer.{i}.attention.attention.query.weight" in sd:
+            base = f"qformer.encoder.layer.{i}"
+            params[f"layer_{i}"] = {
+                "self_q": dense_kb(f"{base}.attention.attention.query"),
+                "self_k": dense_kb(f"{base}.attention.attention.key"),
+                "self_v": dense_kb(f"{base}.attention.attention.value"),
+                "self_out": dense_kb(f"{base}.attention.output.dense"),
+                "ln_self": ln(f"{base}.attention.output.LayerNorm"),
+                "cross_q": dense_kb(f"{base}.crossattention.attention.query"),
+                "cross_k": dense_kb(f"{base}.crossattention.attention.key"),
+                "cross_v": dense_kb(f"{base}.crossattention.attention.value"),
+                "cross_out": dense_kb(f"{base}.crossattention.output.dense"),
+                "ln_cross": ln(f"{base}.crossattention.output.LayerNorm"),
+                "ffn_in": dense_kb(f"{base}.intermediate_query.dense"),
+                "ffn_out": dense_kb(f"{base}.output_query.dense"),
+                "ln_ffn": ln(f"{base}.output_query.LayerNorm"),
+            }
+            i += 1
+        if i == 0:
+            raise KeyError(
+                "no Blip2QFormer layers found in qformer projector state dict; "
+                f"sample keys: {sorted(sd)[:10]}"
+            )
+        return params
+
+    raise ValueError(f"no reference converter for projector_type={projector_type!r}")
 
 
 # ----------------------------------------------------------------- full model
@@ -157,13 +206,26 @@ def convert_checkpoint(
     """
     from tiny_audio_tpu.models.asr import ASRModel
     from tiny_audio_tpu.models.decoder import convert_hf_qwen3
-    from tiny_audio_tpu.models.encoder import convert_hf_whisper_encoder
+    from tiny_audio_tpu.models.encoder import convert_hf_audio_encoder
+
+    if encoder_path:
+        # Provenance-check encoder dims against the checkpoint's own
+        # config.json when present (covers whisper + GLM composite configs).
+        import json as _json
+
+        cfg_json = Path(encoder_path) / "config.json"
+        if cfg_json.is_file():
+            from tiny_audio_tpu.config import EncoderConfig
+
+            derived = EncoderConfig.from_hf_config(_json.loads(cfg_json.read_text()))
+            if derived != config.encoder:
+                config.encoder = derived
 
     dtype = jnp.bfloat16 if config.model_dtype == "bfloat16" else jnp.float32
     model = ASRModel(config, seed=seed)
 
     if encoder_path:
-        model.params["encoder"] = convert_hf_whisper_encoder(
+        model.params["encoder"] = convert_hf_audio_encoder(
             load_state_dict(encoder_path), config.encoder, dtype=dtype
         )
     if decoder_path:

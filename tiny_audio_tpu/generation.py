@@ -38,6 +38,14 @@ class GenerationConfig:
     top_p: Optional[float] = None
     num_beams: int = 1
     length_penalty: float = 1.0
+    no_repeat_ngram_size: int = 0
+
+    def __post_init__(self):
+        if self.no_repeat_ngram_size == 1:
+            raise ValueError(
+                "no_repeat_ngram_size=1 bans every previously seen token; "
+                "use repetition_penalty instead (sizes >= 2 are supported)"
+            )
 
     @classmethod
     def from_asr_config(cls, cfg, eos_token_ids: Sequence[int], pad_token_id: int):
@@ -53,6 +61,7 @@ class GenerationConfig:
             top_p=cfg.top_p,
             num_beams=cfg.num_beams or 1,
             length_penalty=cfg.length_penalty or 1.0,
+            no_repeat_ngram_size=getattr(cfg, "no_repeat_ngram_size", 0) or 0,
         )
 
 
@@ -61,6 +70,49 @@ def _apply_repetition_penalty(logits: jax.Array, seen: jax.Array, penalty: float
     negative logits by the penalty."""
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(seen, penalized, logits)
+
+
+def _ban_repeated_ngrams(logits: jax.Array, all_tokens: jax.Array,
+                         cur_len: jax.Array, n: int) -> jax.Array:
+    """HF ``no_repeat_ngram_size`` semantics (referenced at
+    ``/root/reference/tiny_audio/asr_config.py:100-111``): ban any token that
+    would complete an n-gram already present in the sequence.
+
+    Vectorized for a fixed-shape decode loop: compare the trailing (n-1)-gram
+    context against every (n-1) window of ``all_tokens`` (prompt + generated;
+    positions >= cur_len are excluded), and -inf the token that followed each
+    match.
+
+    Args:
+        logits: [B, V] next-token logits (fp32).
+        all_tokens: [B, S] static ring of prompt + generated ids (future
+            positions hold pad/sentinel values — masked out via ``cur_len``).
+        cur_len: scalar int32, number of valid tokens in ``all_tokens``.
+        n: static ngram size (>= 2).
+    """
+    b, smax = all_tokens.shape
+    w = smax - (n - 1)
+    ctx = jax.lax.dynamic_slice_in_dim(
+        all_tokens, cur_len - (n - 1), n - 1, axis=1
+    )  # [B, n-1] trailing context (clamped when cur_len < n-1; harmless,
+    #    since then no valid window exists either)
+    windows = jnp.stack(
+        [all_tokens[:, j:j + w] for j in range(n - 1)], axis=-1
+    )  # [B, w, n-1]
+    match = jnp.all(windows == ctx[:, None, :], axis=-1)  # [B, w]
+    # the followed token (at i+n-1) must already be generated: i+n-1 < cur_len
+    valid = (jnp.arange(w) + (n - 1)) < cur_len
+    next_tok = all_tokens[:, n - 1:]  # [B, w]
+    # sentinel ids (< 0, e.g. an unseeded beam-search prompt region) never
+    # match and never ban (negative scatter indices would wrap)
+    match &= jnp.all(windows >= 0, axis=-1) & (next_tok >= 0)
+    next_tok = jnp.maximum(next_tok, 0)
+    ban = (
+        jnp.zeros((b, logits.shape[-1]), bool)
+        .at[jnp.arange(b)[:, None], next_tok]
+        .max(match & valid[None, :], mode="drop")
+    )
+    return jnp.where(ban, jnp.finfo(logits.dtype).min, logits)
 
 
 def _mask_eos(logits: jax.Array, eos_ids: tuple[int, ...], active: jax.Array):
@@ -146,10 +198,26 @@ def generate_tokens(
     else:
         seen = jnp.zeros((b, 1), dtype=bool)  # placeholder
 
-    def pick(logits_f32, step, seen, key):
+    use_ngram = gen.no_repeat_ngram_size >= 2
+    if use_ngram:
+        # prompt + generated ids ring for ngram matching (future slots hold
+        # pad — excluded by the cur_len mask inside _ban_repeated_ngrams)
+        all_tokens = jnp.concatenate(
+            [input_ids.astype(jnp.int32),
+             jnp.full((b, gen.max_new_tokens), gen.pad_token_id, jnp.int32)],
+            axis=1,
+        )
+    else:
+        all_tokens = jnp.zeros((b, 1), jnp.int32)  # placeholder
+
+    def pick(logits_f32, step, seen, all_tokens, key):
         if use_penalty:
             logits_f32 = _apply_repetition_penalty(
                 logits_f32, seen, gen.repetition_penalty
+            )
+        if use_ngram:
+            logits_f32 = _ban_repeated_ngrams(
+                logits_f32, all_tokens, t + step, gen.no_repeat_ngram_size
             )
         if gen.min_new_tokens > 0 and gen.eos_token_ids:
             logits_f32 = _mask_eos(
@@ -166,12 +234,14 @@ def generate_tokens(
 
     # first generated token
     rng, key0 = jax.random.split(rng)
-    tok0 = pick(last_logits, 0, seen, key0)
+    tok0 = pick(last_logits, 0, seen, all_tokens, key0)
     finished0 = is_eos(tok0)
     tokens0 = jnp.full((b, gen.max_new_tokens), gen.pad_token_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(tok0)
     if use_penalty:
         seen = seen.at[jnp.arange(b), tok0].set(True)
+    if use_ngram:
+        all_tokens = all_tokens.at[:, t].set(tok0)
 
     state = {
         "cache": cache,
@@ -180,6 +250,7 @@ def generate_tokens(
         "finished": finished0,
         "lengths": jnp.ones((b,), jnp.int32),  # incl. the (possible) EOS
         "seen": seen,
+        "all_tokens": all_tokens,
         "step": jnp.int32(1),
         "rng": rng,
     }
@@ -199,7 +270,10 @@ def generate_tokens(
             step_kv_valid=kv_valid, cache=st["cache"], cache_index=pos,
         )
         rng, key = jax.random.split(st["rng"])
-        tok = pick(logits[:, 0].astype(jnp.float32), step, st["seen"], key)
+        tok = pick(
+            logits[:, 0].astype(jnp.float32), step, st["seen"],
+            st["all_tokens"], key,
+        )
         # frozen rows keep emitting pad
         tok = jnp.where(st["finished"], gen.pad_token_id, tok)
         tokens = st["tokens"].at[:, step].set(tok)
@@ -208,6 +282,9 @@ def generate_tokens(
         seen = st["seen"]
         if use_penalty:
             seen = seen.at[jnp.arange(b), tok].set(True)
+        all_toks = st["all_tokens"]
+        if use_ngram:
+            all_toks = all_toks.at[:, t + step].set(tok)
         return {
             "cache": new_cache,
             "tokens": tokens,
@@ -215,6 +292,7 @@ def generate_tokens(
             "finished": finished,
             "lengths": lengths,
             "seen": seen,
+            "all_tokens": all_toks,
             "step": step + 1,
             "rng": rng,
         }
@@ -258,8 +336,10 @@ def stream_generate(
         )
         return logits[:, -1].astype(jnp.float32), new_cache
 
+    use_ngram = gen.no_repeat_ngram_size >= 2
+
     @functools.partial(jax.jit, donate_argnames=("step_cache",))
-    def step_fn(variables, cur, pos, step_cache, seen, key, eos_active):
+    def step_fn(variables, cur, pos, step_cache, seen, all_tokens, key, eos_active):
         embeds = decoder.apply(variables, cur[:, None], method=Qwen3Decoder.embed)
         kv_valid = (jnp.arange(s) < pos)[None, :].astype(jnp.int32)  # fresh pos appended in-kernel
         logits, new_cache = decoder.apply(
@@ -270,12 +350,17 @@ def stream_generate(
         logits = logits[:, 0].astype(jnp.float32)
         if gen.repetition_penalty != 1.0:
             logits = _apply_repetition_penalty(logits, seen, gen.repetition_penalty)
+        if use_ngram:
+            all_tokens = all_tokens.at[:, pos].set(cur)
+            logits = _ban_repeated_ngrams(
+                logits, all_tokens, pos + 1, gen.no_repeat_ngram_size
+            )
         if gen.eos_token_ids:
             logits = _mask_eos(logits, gen.eos_token_ids, eos_active)
         tok = _select_token(logits, gen, key)
         if gen.repetition_penalty != 1.0:
             seen = seen.at[jnp.arange(b), tok].set(True)
-        return tok, new_cache, seen
+        return tok, new_cache, seen, all_tokens
 
     last_logits, cache = prefill(variables, inputs_embeds)
     if gen.repetition_penalty != 1.0:
@@ -284,9 +369,22 @@ def stream_generate(
     else:
         seen = jnp.zeros((b, 1), dtype=bool)
 
+    if use_ngram:
+        all_tokens = jnp.concatenate(
+            [input_ids.astype(jnp.int32),
+             jnp.full((b, gen.max_new_tokens), gen.pad_token_id, jnp.int32)],
+            axis=1,
+        )
+    else:
+        all_tokens = jnp.zeros((b, 1), jnp.int32)
+
     rng, key = jax.random.split(rng)
     if gen.repetition_penalty != 1.0:
         last_logits = _apply_repetition_penalty(last_logits, seen, gen.repetition_penalty)
+    if use_ngram:
+        last_logits = _ban_repeated_ngrams(
+            last_logits, all_tokens, jnp.int32(t), gen.no_repeat_ngram_size
+        )
     if gen.min_new_tokens > 0 and gen.eos_token_ids:
         last_logits = _mask_eos(
             last_logits, gen.eos_token_ids, jnp.full((b,), True)
@@ -305,8 +403,8 @@ def stream_generate(
             return
         rng, key = jax.random.split(rng)
         eos_active = jnp.full((b,), step + 1 < gen.min_new_tokens)
-        tok, cache, seen = step_fn(
-            variables, tok, t + step, cache, seen, key, eos_active
+        tok, cache, seen, all_tokens = step_fn(
+            variables, tok, t + step, cache, seen, all_tokens, key, eos_active
         )
 
 
@@ -362,6 +460,20 @@ def generate_beams(
         first_logits = _apply_repetition_penalty(
             first_logits, seen_prompt, gen.repetition_penalty
         )
+    use_ngram = gen.no_repeat_ngram_size >= 2
+    if use_ngram:
+        prompt_ids = (
+            input_ids.astype(jnp.int32) if input_ids is not None
+            else jnp.full((b, t), -1, jnp.int32)  # sentinel: never matches
+        )
+        row_tokens = jnp.concatenate(
+            [prompt_ids,
+             jnp.full((b, gen.max_new_tokens), gen.pad_token_id, jnp.int32)],
+            axis=1,
+        )
+        first_logits = _ban_repeated_ngrams(
+            first_logits, row_tokens, jnp.int32(t), gen.no_repeat_ngram_size
+        )
     if gen.min_new_tokens > 0 and gen.eos_token_ids:
         first_logits = _mask_eos(
             first_logits, gen.eos_token_ids, jnp.full((b,), True)
@@ -395,6 +507,14 @@ def generate_beams(
     else:
         seen0 = jnp.zeros((b, k, 1), dtype=bool)  # placeholder
 
+    if use_ngram:
+        all0 = jnp.repeat(row_tokens[:, None, :], k, axis=1)  # [B, K, S]
+        all0 = all0.at[
+            jnp.arange(b)[:, None], jnp.arange(k)[None, :], t
+        ].set(top_tok)
+    else:
+        all0 = jnp.zeros((b, k, 1), jnp.int32)  # placeholder
+
     state = {
         "cache": cache,
         "tokens": tokens0,
@@ -403,6 +523,7 @@ def generate_beams(
         "finished": finished0,
         "lengths": lengths0,
         "seen": seen0,
+        "all_tokens": all0,
         "step": jnp.int32(1),
     }
 
@@ -424,6 +545,11 @@ def generate_beams(
             step_logits = _apply_repetition_penalty(
                 step_logits, st["seen"].reshape(b * k, -1),
                 gen.repetition_penalty,
+            )
+        if use_ngram:
+            step_logits = _ban_repeated_ngrams(
+                step_logits, st["all_tokens"].reshape(b * k, -1),
+                t + step, gen.no_repeat_ngram_size,
             )
         if gen.min_new_tokens > 0 and gen.eos_token_ids:
             step_logits = _mask_eos(
@@ -468,6 +594,12 @@ def generate_beams(
             seen = seen.at[
                 jnp.arange(b)[:, None], jnp.arange(k)[None, :], tok
             ].set(True)
+        allt = st["all_tokens"]
+        if use_ngram:
+            allt = allt.reshape(b * k, -1)[gather.reshape(-1)].reshape(b, k, -1)
+            allt = allt.at[
+                jnp.arange(b)[:, None], jnp.arange(k)[None, :], t + step
+            ].set(tok)
 
         return {
             "cache": new_cache,
@@ -477,6 +609,7 @@ def generate_beams(
             "finished": finished,
             "lengths": lengths,
             "seen": seen,
+            "all_tokens": allt,
             "step": step + 1,
         }
 

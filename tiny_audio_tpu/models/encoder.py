@@ -146,22 +146,96 @@ class AudioEncoder(nn.Module):
 
 
 # ---------------------------------------------------------------------------
-# HF weight conversion (WhisperEncoder naming; GLM-ASR towers share the layout)
+# HF weight conversion: three checkpoint flavors, one param layout
+#
+# Mirrors the reference's three-branch encoder loader
+# (``/root/reference/tiny_audio/asr_modeling.py:203-237``):
+#   whisper  -> WhisperModel.encoder           (keys ``[model.][encoder.]...``)
+#   glm      -> GlmAsr full model .audio_tower (keys ``audio_tower....``, the
+#               LM/projector keys of the full checkpoint are dropped — the
+#               analogue of the reference freeing ``language_model``)
+#   generic  -> AutoModel                      (whisper-layout assumed; alias
+#               table below absorbs common renamings)
 # ---------------------------------------------------------------------------
+
+# Substring aliases normalizing GLM/Qwen2Audio-style tower naming onto the
+# Whisper layout this converter targets.  Applied after prefix stripping.
+_ENCODER_KEY_ALIASES = [
+    (".self_attn.o_proj.", ".self_attn.out_proj."),
+    (".input_layernorm.", ".self_attn_layer_norm."),
+    (".post_attention_layernorm.", ".final_layer_norm."),
+    (".mlp.fc1.", ".fc1."),
+    (".mlp.fc2.", ".fc2."),
+    ("ln_post.", "layer_norm."),  # openai-whisper export naming
+]
+
+
+def detect_encoder_flavor(state_dict: dict) -> str:
+    """'glm' | 'whisper' | 'generic' from state-dict key shape."""
+    keys = list(state_dict)
+    if any(k.startswith(("audio_tower.", "model.audio_tower.")) for k in keys):
+        return "glm"
+    if any(".self_attn." in k or k.startswith(("encoder.", "model.encoder.", "conv1."))
+           for k in keys):
+        return "whisper"
+    return "generic"
+
+
+def normalize_encoder_state_dict(state_dict: dict) -> dict:
+    """Strip wrapper prefixes + rename aliased keys to the Whisper layout.
+
+    For GLM-style full-model checkpoints, keeps only the ``audio_tower.*``
+    subtree (drops ``language_model.*`` / ``multi_modal_projector.*``).
+    """
+    flavor = detect_encoder_flavor(state_dict)
+    out = {}
+    for key, w in state_dict.items():
+        key = key.removeprefix("model.")
+        if flavor == "glm":
+            if not key.startswith("audio_tower."):
+                continue  # LM / projector keys of the full checkpoint
+            key = key.removeprefix("audio_tower.")
+            key = key.removeprefix("model.")  # nested wrapper, if any
+        key = key.removeprefix("encoder.")
+        for old, new in _ENCODER_KEY_ALIASES:
+            if old in key:
+                key = key.replace(old, new)
+        # conv stacks exported as a list module: conv_layers.{i}./convs.{i}.
+        for stem in ("conv_layers.", "convs.", "conv."):
+            if key.startswith(stem):
+                i, rest = key[len(stem):].split(".", 1)
+                key = f"conv{int(i) + 1}.{rest}"
+                break
+        out[key] = w
+    return out
+
+
+def convert_hf_audio_encoder(state_dict: dict, cfg: EncoderConfig, dtype=jnp.bfloat16) -> dict:
+    """Three-branch encoder conversion (whisper / GLM audio_tower / generic)."""
+    return convert_hf_whisper_encoder(
+        normalize_encoder_state_dict(state_dict), cfg, dtype=dtype
+    )
 
 
 def convert_hf_whisper_encoder(state_dict: dict, cfg: EncoderConfig, dtype=jnp.bfloat16) -> dict:
     """Convert an HF WhisperEncoder state_dict to this module's params.
 
     Accepts keys with or without an ``encoder.`` prefix (WhisperModel vs bare
-    encoder exports).
+    encoder exports); GLM ``audio_tower.*`` checkpoints are normalized first
+    (see :func:`normalize_encoder_state_dict` /
+    :func:`convert_hf_audio_encoder`).
     """
 
     sd = {}
-    for key, w in state_dict.items():
-        key = key.removeprefix("model.").removeprefix("encoder.")
+    for key, w in normalize_encoder_state_dict(state_dict).items():
         sd[key] = np.asarray(
             w.detach().cpu().float().numpy() if hasattr(w, "detach") else w
+        )
+
+    if "conv1.weight" not in sd or not any(k.startswith("layers.0.") for k in sd):
+        raise KeyError(
+            "unrecognized encoder state-dict layout after normalization; "
+            f"sample keys: {sorted(sd)[:12]}"
         )
 
     def t(name, cast=None, conv=False, transpose=False):

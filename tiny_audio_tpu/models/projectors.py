@@ -321,9 +321,13 @@ class QFormerProjector(nn.Module):
 
         query = self.param("query", nn.initializers.normal(stddev=1.0),
                            (1, nq, hidden), self.param_dtype)
-        q_states = jnp.broadcast_to(
-            query.astype(self.dtype), (b * nblocks, nq, hidden)
-        )
+        # Blip2QFormerModel layernorms + dropouts the query embeds before the
+        # layers (its embeddings stage) — required for checkpoint parity.
+        q_states = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
+                                param_dtype=self.param_dtype,
+                                name="ln_embed")(query.astype(self.dtype))
+        q_states = jnp.broadcast_to(q_states, (b * nblocks, nq, hidden))
+        q_states = nn.Dropout(0.1, deterministic=not train)(q_states)
         for i in range(cfg.qformer_num_layers):
             q_states = QFormerBlock(
                 hidden, cfg.qformer_num_heads, intermediate,
