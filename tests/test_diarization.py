@@ -162,7 +162,9 @@ class TestEndToEnd:
         segments = SpeakerDiarizer.diarize(audio, num_speakers=2)
         assert isinstance(segments, list)
         for seg in segments:
-            assert set(seg) == {"speaker", "start", "end"}
+            # random-init embedder => results must be tagged as fallback
+            assert set(seg) == {"speaker", "start", "end", "fallback"}
+            assert seg["fallback"] is True
             assert seg["start"] < seg["end"]
             assert seg["speaker"].startswith("SPEAKER_")
         # monotonic, non-overlapping
@@ -179,15 +181,26 @@ class TestEndToEnd:
         assert len(segs) <= 1
 
     def test_embedder_batched_shapes(self):
-        emb = EcapaEmbedder(channels=64, embed_dim=32)
+        from tiny_audio_tpu.models.ecapa import EcapaTDNN
+
+        emb = EcapaEmbedder(module=EcapaTDNN(
+            channels=(64, 64, 64, 64, 192), embed_dim=32,
+            attention_channels=32, se_channels=16,
+        ))
+        assert emb.trained is False
         wins = np.random.default_rng(0).standard_normal((3, 12000)).astype(np.float32)
         out = emb.embed_windows(wins)
         assert out.shape == (3, 32)
         np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-4)
 
     def test_embedder_empty(self):
-        emb = EcapaEmbedder(channels=64, embed_dim=32)
-        assert emb.embed_windows(np.zeros((0, 12000), np.float32)).shape == (0, 192)
+        from tiny_audio_tpu.models.ecapa import EcapaTDNN
+
+        emb = EcapaEmbedder(module=EcapaTDNN(
+            channels=(64, 64, 64, 64, 192), embed_dim=32,
+            attention_channels=32, se_channels=16,
+        ))
+        assert emb.embed_windows(np.zeros((0, 12000), np.float32)).shape == (0, 32)
 
 
 class TestAssignWords:

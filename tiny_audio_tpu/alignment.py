@@ -131,14 +131,16 @@ class ForcedAligner:
             audio = resample(audio, sample_rate, 16000)
 
         if not cls.has_model():
-            # Uniform fallback: evenly spread words over the clip duration
+            # Uniform fallback: evenly spread words over the clip duration —
+            # tagged so callers/evaluators can't mistake it for real alignment
             words = text.split()
             if not words:
                 return []
             duration = len(audio) / 16000.0
             per = duration / len(words)
             return [
-                {"word": w, "start": i * per, "end": (i + 1) * per}
+                {"word": w, "start": i * per, "end": (i + 1) * per,
+                 "fallback": True}
                 for i, w in enumerate(words)
             ]
 

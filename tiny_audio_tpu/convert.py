@@ -195,6 +195,7 @@ def convert_checkpoint(
     decoder_path: Optional[str | Path] = None,
     projector_path: Optional[str | Path] = None,
     aligner_path: Optional[str | Path] = None,
+    ecapa_path: Optional[str | Path] = None,
     output_dir: Optional[str | Path] = None,
     seed: int = 0,
 ):
@@ -253,6 +254,22 @@ def convert_checkpoint(
 
         ForcedAligner._model = Wav2Vec2CTC()  # attach for this process
         ForcedAligner._params = w2v_params
+
+    if ecapa_path:
+        # speechbrain spkrec-ecapa-voxceleb embedding_model.ckpt (reference
+        # diarization.py:470-479) -> flax; attach as the process singleton.
+        from tiny_audio_tpu.diarization import EcapaEmbedder
+
+        embedder = EcapaEmbedder.from_speechbrain(load_state_dict(ecapa_path))
+        EcapaEmbedder._instance = embedder
+        if output_dir:
+            from flax import serialization
+
+            out = Path(output_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            (out / "ecapa_embedder.msgpack").write_bytes(
+                serialization.to_bytes(embedder.params)
+            )
 
     if output_dir:
         model.save_pretrained(output_dir)

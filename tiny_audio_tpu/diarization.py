@@ -153,89 +153,42 @@ def _speaker_fbank(frames: np.ndarray, sample_rate: int = SAMPLE_RATE) -> np.nda
 
 
 class EcapaEmbedder:
-    """ECAPA-TDNN-style speaker encoder (Flax) producing 192-dim embeddings.
+    """ECAPA-TDNN speaker encoder wrapper producing L2-normalized embeddings.
 
-    Architecturally mirrors the speechbrain ``spkrec-ecapa-voxceleb`` model
-    the reference loads (diarization.py:470-479): TDNN stem, three dilated
-    Res2Net+SE blocks, MFA concat, attentive statistics pooling, linear to
-    the embedding dim.  Weights default to a fixed random init (useful
-    embeddings for clustering still require trained weights — load via
-    :meth:`load_weights` from a converted checkpoint).
+    Wraps :class:`tiny_audio_tpu.models.ecapa.EcapaTDNN` — a speechbrain-exact
+    flax reimplementation of the ``spkrec-ecapa-voxceleb`` model the reference
+    loads (diarization.py:470-479).  Weights default to a fixed random init;
+    :attr:`trained` stays False until real weights arrive via
+    :meth:`load_weights` (converted msgpack) or :meth:`from_speechbrain`
+    (raw speechbrain ``embedding_model.ckpt``), and downstream results are
+    tagged ``"fallback": True`` while it is False (clustering random
+    embeddings yields arbitrary speaker labels).
     """
 
     _instance: Optional["EcapaEmbedder"] = None
 
-    def __init__(self, embed_dim: int = 192, channels: int = 512, seed: int = 0):
+    def __init__(self, module=None, params=None, seed: int = 0):
         import jax
         import jax.numpy as jnp
-        from flax import linen as nn
 
-        class SEBlock(nn.Module):
-            ch: int
+        from tiny_audio_tpu.models.ecapa import EcapaTDNN
 
-            @nn.compact
-            def __call__(self, x):  # [B, T, C]
-                s = x.mean(axis=1)
-                s = nn.relu(nn.Dense(self.ch // 8)(s))
-                s = nn.sigmoid(nn.Dense(self.ch)(s))
-                return x * s[:, None, :]
-
-        class Res2Block(nn.Module):
-            ch: int
-            dilation: int
-            scale: int = 8
-
-            @nn.compact
-            def __call__(self, x):  # [B, T, C]
-                y = nn.relu(nn.Conv(self.ch, (1,))(x))
-                width = self.ch // self.scale
-                chunks = [
-                    y[..., i * width : (i + 1) * width] for i in range(self.scale)
-                ]
-                outs = [chunks[0]]
-                prev = None
-                for i in range(1, self.scale):
-                    h = chunks[i] if prev is None else chunks[i] + prev
-                    prev = nn.relu(
-                        nn.Conv(
-                            width, (3,), kernel_dilation=(self.dilation,),
-                            padding="SAME",
-                        )(h)
-                    )
-                    outs.append(prev)
-                y = jnp.concatenate(outs, axis=-1)
-                y = nn.relu(nn.Conv(self.ch, (1,))(y))
-                y = SEBlock(self.ch)(y)
-                return x + y
-
-        class Ecapa(nn.Module):
-            ch: int
-            out_dim: int
-
-            @nn.compact
-            def __call__(self, x):  # [B, T, 80] -> [B, out_dim]
-                h = nn.relu(nn.Conv(self.ch, (5,), padding="SAME")(x))
-                b1 = Res2Block(self.ch, dilation=2)(h)
-                b2 = Res2Block(self.ch, dilation=3)(b1)
-                b3 = Res2Block(self.ch, dilation=4)(b2)
-                mfa = jnp.concatenate([b1, b2, b3], axis=-1)
-                mfa = nn.relu(nn.Conv(self.ch * 3, (1,))(mfa))
-                # attentive statistics pooling
-                attn = nn.tanh(nn.Conv(128, (1,))(mfa))
-                attn = nn.Conv(self.ch * 3, (1,))(attn)
-                w = jax.nn.softmax(attn, axis=1)
-                mu = (mfa * w).sum(axis=1)
-                var = (mfa**2 * w).sum(axis=1) - mu**2
-                stats = jnp.concatenate([mu, jnp.sqrt(jnp.clip(var, 1e-6))], axis=-1)
-                return nn.Dense(self.out_dim)(stats)
-
-        self.module = Ecapa(channels, embed_dim)
-        self.params = self.module.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, 75, 80), jnp.float32)
-        )["params"]
+        self.module = module or EcapaTDNN()
+        if params is None:
+            self.params = self.module.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, 75, 80), jnp.float32)
+            )["params"]
+            self.trained = False
+        else:
+            self.params = params
+            self.trained = True
         self._apply = jax.jit(
             lambda p, x: self.module.apply({"params": p}, x)
         )
+
+    @property
+    def embed_dim(self) -> int:
+        return self.module.embed_dim
 
     @classmethod
     def get(cls) -> "EcapaEmbedder":
@@ -243,16 +196,25 @@ class EcapaEmbedder:
             cls._instance = cls()
         return cls._instance
 
+    @classmethod
+    def from_speechbrain(cls, state_dict: dict) -> "EcapaEmbedder":
+        """Build from a speechbrain ``embedding_model.ckpt`` state dict."""
+        from tiny_audio_tpu.models.ecapa import convert_speechbrain_ecapa
+
+        params, module = convert_speechbrain_ecapa(state_dict)
+        return cls(module=module, params=params)
+
     def load_weights(self, path) -> None:
         from flax import serialization
 
         with open(path, "rb") as f:
             self.params = serialization.from_bytes(self.params, f.read())
+        self.trained = True
 
     def embed_windows(self, windows: np.ndarray) -> np.ndarray:
-        """[N, samples] -> [N, 192] L2-normalized embeddings, one forward."""
+        """[N, samples] -> [N, embed_dim] L2-normalized embeddings."""
         if windows.shape[0] == 0:
-            return np.zeros((0, 192), np.float32)
+            return np.zeros((0, self.embed_dim), np.float32)
         feats = _speaker_fbank(windows)
         emb = np.asarray(self._apply(self.params, feats), np.float32)
         norm = np.linalg.norm(emb, axis=1, keepdims=True)
@@ -480,7 +442,13 @@ class LocalSpeakerDiarizer:
         embedder = self.embedder or EcapaEmbedder.get()
         embeddings = embedder.embed_windows(windows)
         labels = self.clusterer(embeddings)
-        return self._vote(labels, spans, vad_segments, duration)
+        segments = self._vote(labels, spans, vad_segments, duration)
+        if not getattr(embedder, "trained", False):
+            # random-init embeddings -> arbitrary speaker labels; make that
+            # loud instead of silently reporting a meaningless diarization
+            for seg in segments:
+                seg["fallback"] = True
+        return segments
 
     def _vote(
         self,
