@@ -1,0 +1,183 @@
+"""API-backend diarization/alignment extraction against mock vendor responses
+(the reference's test style, e.g. ``/root/reference/tests/test_eval_deepgram.py``)."""
+
+import numpy as np
+import pytest
+
+from tiny_audio_tpu.eval.evaluators.alignment import (
+    assemblyai_words,
+    deepgram_words,
+    elevenlabs_words,
+    make_alignment_evaluator,
+)
+from tiny_audio_tpu.eval.evaluators.diarization import (
+    assemblyai_segments,
+    deepgram_segments,
+    elevenlabs_segments,
+    make_diarization_evaluator,
+)
+
+ASSEMBLYAI_RESPONSE = {
+    "status": "completed",
+    "text": "hello world goodbye",
+    "utterances": [
+        {"speaker": "A", "start": 0, "end": 2100},
+        {"speaker": "B", "start": 2500, "end": 5000},
+    ],
+    "words": [
+        {"text": "hello", "start": 0, "end": 480},
+        {"text": "world", "start": 520, "end": 1000},
+        {"text": "goodbye", "start": 2500, "end": 3200},
+    ],
+}
+
+DEEPGRAM_RESPONSE = {
+    "results": {
+        "utterances": [
+            {"speaker": 0, "start": 0.0, "end": 2.1, "transcript": "hello world"},
+            {"speaker": 1, "start": 2.5, "end": 5.0, "transcript": "goodbye"},
+        ],
+        "channels": [
+            {
+                "alternatives": [
+                    {
+                        "transcript": "hello world goodbye",
+                        "words": [
+                            {"word": "hello", "start": 0.0, "end": 0.48},
+                            {"word": "world", "start": 0.52, "end": 1.0},
+                            {"word": "goodbye", "start": 2.5, "end": 3.2},
+                        ],
+                    }
+                ]
+            }
+        ],
+    }
+}
+
+ELEVENLABS_RESPONSE = {
+    "text": "hello world goodbye",
+    "words": [
+        {"text": "hello", "start": 0.0, "end": 0.48, "type": "word",
+         "speaker_id": "speaker_0"},
+        {"text": " ", "start": 0.48, "end": 0.52, "type": "spacing",
+         "speaker_id": "speaker_0"},
+        {"text": "world", "start": 0.52, "end": 1.0, "type": "word",
+         "speaker_id": "speaker_0"},
+        {"text": "goodbye", "start": 2.5, "end": 3.2, "type": "word",
+         "speaker_id": "speaker_1"},
+    ],
+}
+
+
+class TestDiarizationExtractors:
+    def test_assemblyai(self):
+        segs = assemblyai_segments(ASSEMBLYAI_RESPONSE)
+        assert segs == [
+            {"speaker": "A", "start": 0.0, "end": 2.1},
+            {"speaker": "B", "start": 2.5, "end": 5.0},
+        ]
+
+    def test_deepgram(self):
+        segs = deepgram_segments(DEEPGRAM_RESPONSE)
+        assert segs == [
+            {"speaker": "SPEAKER_0", "start": 0.0, "end": 2.1},
+            {"speaker": "SPEAKER_1", "start": 2.5, "end": 5.0},
+        ]
+
+    def test_elevenlabs_groups_consecutive_words(self):
+        segs = elevenlabs_segments(ELEVENLABS_RESPONSE)
+        assert segs == [
+            {"speaker": "SPEAKER_speaker_0", "start": 0.0, "end": 1.0},
+            {"speaker": "SPEAKER_speaker_1", "start": 2.5, "end": 3.2},
+        ]
+
+    def test_empty_responses(self):
+        assert assemblyai_segments({}) == []
+        assert deepgram_segments({}) == []
+        assert elevenlabs_segments({"words": [{"type": "word"}]}) == []
+
+
+class TestAlignmentExtractors:
+    def test_assemblyai_ms_to_s(self):
+        words = assemblyai_words(ASSEMBLYAI_RESPONSE)
+        assert words[0] == {"word": "hello", "start": 0.0, "end": 0.48}
+        assert words[2]["start"] == 2.5
+
+    def test_deepgram(self):
+        words = deepgram_words(DEEPGRAM_RESPONSE)
+        assert [w["word"] for w in words] == ["hello", "world", "goodbye"]
+
+    def test_elevenlabs_skips_spacing(self):
+        words = elevenlabs_words(ELEVENLABS_RESPONSE)
+        assert [w["word"] for w in words] == ["hello", "world", "goodbye"]
+
+    def test_empty(self):
+        assert deepgram_words({}) == []
+        assert assemblyai_words({}) == []
+
+
+class TestBackendWiring:
+    def test_key_gated(self, monkeypatch):
+        """API evaluators construct lazily; missing keys surface per-sample."""
+        monkeypatch.delenv("DEEPGRAM_API_KEY", raising=False)
+        ev = make_diarization_evaluator("deepgram")
+        assert ev.model_name == "deepgram-diarization"
+        with pytest.raises(RuntimeError, match="DEEPGRAM_API_KEY"):
+            ev.diarize_fn(np.zeros(1600, np.float32), sample_rate=16000)
+
+    def test_unknown_backend_raises(self):
+        ev = make_diarization_evaluator("bogus")
+        with pytest.raises(ValueError):
+            ev.diarize_fn(np.zeros(1600, np.float32))
+
+    def test_mocked_transport_end_to_end(self, monkeypatch):
+        """Full evaluate() loop against a mocked vendor transport."""
+        from tiny_audio_tpu.eval.evaluators import api
+
+        monkeypatch.setenv("DEEPGRAM_API_KEY", "test-key")
+        monkeypatch.setattr(
+            api, "deepgram_transcribe",
+            lambda wav, key, **kw: DEEPGRAM_RESPONSE,
+        )
+        ev = make_diarization_evaluator("deepgram")
+        dataset = [
+            {
+                "audio": {"array": np.zeros(16000 * 5, np.float32),
+                          "sampling_rate": 16000},
+                "speakers": [
+                    {"speaker": "X", "start": 0.0, "end": 2.1},
+                    {"speaker": "Y", "start": 2.5, "end": 5.0},
+                ],
+            }
+        ]
+        rows, metrics = ev.evaluate(dataset, verbose=False)
+        assert metrics["num_samples"] == 1
+        assert metrics["errors"] == 0
+        # hypothesis matches reference up to label permutation -> DER ~ 0
+        assert metrics["corpus_der"] < 1.0
+
+    def test_alignment_mocked_transport(self, monkeypatch):
+        from tiny_audio_tpu.eval.evaluators import api
+
+        monkeypatch.setenv("ASSEMBLYAI_API_KEY", "test-key")
+        monkeypatch.setattr(
+            api, "assemblyai_transcribe",
+            lambda wav, key, **kw: ASSEMBLYAI_RESPONSE,
+        )
+        ev = make_alignment_evaluator("assemblyai")
+        dataset = [
+            {
+                "audio": {"array": np.zeros(16000 * 4, np.float32),
+                          "sampling_rate": 16000},
+                "words": [
+                    {"word": "hello", "start": 0.0, "end": 0.5},
+                    {"word": "world", "start": 0.5, "end": 1.0},
+                    {"word": "goodbye", "start": 2.5, "end": 3.2},
+                ],
+            }
+        ]
+        rows, metrics = ev.evaluate(dataset, verbose=False)
+        assert metrics["num_samples"] == 1
+        assert metrics["errors"] == 0
+        assert metrics["match_rate"] == 1.0
+        assert metrics["median_abs_error_s"] <= 0.02

@@ -63,3 +63,41 @@ class TestNormalizer:
         # normalizing twice is idempotent
         s = "It's OKAY, the Colour!"
         assert norm(norm(s)) == norm(s)
+
+
+class TestSpellingMap:
+    def test_stem_families_expand(self):
+        from tiny_audio_tpu.eval.spelling import load_spelling_map
+
+        m = load_spelling_map()
+        assert len(m) > 1000
+        assert m["colourful"] == "colorful"
+        assert m["organisations"] == "organizations"
+        assert m["kilometres"] == "kilometers"
+        assert m["anaesthetic"] == "anesthetic"
+        assert m["travelling"] == "traveling"
+
+    def test_us_correct_ise_words_not_mapped(self):
+        """-ise words that are correct US spellings must never be rewritten."""
+        from tiny_audio_tpu.eval.spelling import load_spelling_map
+
+        m = load_spelling_map()
+        for word in ["promise", "wise", "surprise", "exercise", "improvise",
+                     "advertise", "advise", "compromise", "franchise"]:
+            assert word not in m
+
+    def test_external_json_takes_precedence(self, tmp_path):
+        import json
+
+        from tiny_audio_tpu.eval.spelling import load_spelling_map
+
+        f = tmp_path / "english.json"
+        f.write_text(json.dumps({"colour": "color"}))
+        m = load_spelling_map(str(f))
+        assert m == {"colour": "color"}
+
+    def test_normalizer_applies_map(self):
+        from tiny_audio_tpu.eval.normalizer import TextNormalizer
+
+        n = TextNormalizer()
+        assert n("The colour of the theatre") == "the color of the theater"

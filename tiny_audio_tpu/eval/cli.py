@@ -117,26 +117,34 @@ def run_eval(
         return metrics
 
     if cfg.dataset_type == "diarization":
-        from tiny_audio_tpu.eval.evaluators.diarization import DiarizationEvaluator
+        from tiny_audio_tpu.eval.evaluators.diarization import (
+            make_diarization_evaluator,
+        )
 
-        evaluator = DiarizationEvaluator()
+        evaluator = make_diarization_evaluator(backend)
         rows, metrics = evaluator.evaluate(ds, num_samples=num_samples)
         save_generic_results(evaluator.model_name, dataset_name, rows, metrics,
                              output_dir, suffix="_diarization")
         return metrics
 
     if cfg.dataset_type == "alignment":
-        pipe = _build_pipeline(model)
+        from tiny_audio_tpu.eval.evaluators.alignment import (
+            make_alignment_evaluator,
+        )
 
-        def align_fn(audio, sample):
-            return pipe(audio, return_timestamps=True).get("words", [])
+        if backend == "local":
+            pipe = _build_pipeline(model)
 
-        from tiny_audio_tpu.eval.evaluators.alignment import AlignmentEvaluator
+            def align_fn(audio, sample):
+                return pipe(audio, return_timestamps=True).get("words", [])
 
-        evaluator = AlignmentEvaluator(align_fn, model_name=model)
+            evaluator = make_alignment_evaluator("local", align_fn,
+                                                 model_name=model)
+        else:
+            evaluator = make_alignment_evaluator(backend)
         rows, metrics = evaluator.evaluate(ds, num_samples=num_samples)
-        save_generic_results(model, dataset_name, rows, metrics, output_dir,
-                             suffix="_alignment")
+        save_generic_results(evaluator.model_name, dataset_name, rows, metrics,
+                             output_dir, suffix="_alignment")
         return metrics
 
     if cfg.dataset_type in ("mcq", "classification"):

@@ -109,3 +109,81 @@ class AlignmentEvaluator:
             "num_samples": len(results),
             "errors": sum(1 for r in results if "error" in r),
         }
+
+
+# ---------------------------------------------------------------------------
+# API backends: word-timestamp extraction from vendor response JSON
+# (reference ``/root/reference/scripts/eval/evaluators/alignment.py`` API
+# extractors)
+# ---------------------------------------------------------------------------
+
+
+def assemblyai_words(response: dict) -> list[dict]:
+    """AssemblyAI ``words`` (ms) -> word dicts (s)."""
+    return [
+        {"word": w["text"], "start": w["start"] / 1000.0,
+         "end": w["end"] / 1000.0}
+        for w in (response.get("words") or [])
+    ]
+
+
+def deepgram_words(response: dict) -> list[dict]:
+    """Deepgram ``results.channels[0].alternatives[0].words`` -> word dicts."""
+    channels = (response.get("results") or {}).get("channels") or []
+    alts = (channels[0].get("alternatives") or []) if channels else []
+    words = alts[0].get("words", []) if alts else []
+    return [
+        {"word": w["word"], "start": float(w["start"]), "end": float(w["end"])}
+        for w in words
+    ]
+
+
+def elevenlabs_words(response: dict) -> list[dict]:
+    """ElevenLabs scribe ``words`` (type 'word' only; spacing/audio_event
+    entries skipped) -> word dicts."""
+    out = []
+    for w in response.get("words") or []:
+        if w.get("type", "word") != "word":
+            continue
+        if w.get("start") is None or w.get("end") is None:
+            continue
+        out.append({"word": w["text"], "start": float(w["start"]),
+                    "end": float(w["end"])})
+    return out
+
+
+def _api_align_fn(backend: str, **client_kwargs):
+    """Build an ``align_fn(audio_dict, sample)`` for an API backend."""
+    from tiny_audio_tpu.eval.evaluators import api
+
+    def fn(audio, sample):
+        wav = api.audio_to_wav_bytes(audio)
+        if backend == "assemblyai":
+            resp = api.assemblyai_transcribe(
+                wav, api.require_key("ASSEMBLYAI_API_KEY"), **client_kwargs
+            )
+            return assemblyai_words(resp)
+        if backend == "deepgram":
+            resp = api.deepgram_transcribe(
+                wav, api.require_key("DEEPGRAM_API_KEY"),
+                smart_format=False, **client_kwargs,
+            )
+            return deepgram_words(resp)
+        if backend == "elevenlabs":
+            resp = api.elevenlabs_transcribe(
+                wav, api.require_key("ELEVENLABS_API_KEY"), **client_kwargs
+            )
+            return elevenlabs_words(resp)
+        raise ValueError(f"unknown alignment backend {backend!r}")
+
+    return fn
+
+
+def make_alignment_evaluator(backend: str = "local", align_fn=None,
+                             model_name: str | None = None) -> AlignmentEvaluator:
+    """Backend dispatch: 'local' (caller supplies align_fn) or an API vendor."""
+    if backend == "local":
+        return AlignmentEvaluator(align_fn, model_name=model_name or "local-aligner")
+    return AlignmentEvaluator(
+        _api_align_fn(backend), model_name=model_name or f"{backend}-alignment"
+    )

@@ -88,3 +88,93 @@ class DiarizationEvaluator:
             "num_samples": len(results),
             "errors": sum(1 for r in results if "error" in r),
         }
+
+
+# ---------------------------------------------------------------------------
+# API backends: segment extraction from vendor response JSON
+# (reference ``/root/reference/scripts/eval/evaluators/diarization.py:231-353``)
+# ---------------------------------------------------------------------------
+
+
+def assemblyai_segments(response: dict) -> list[dict]:
+    """AssemblyAI ``utterances`` (ms) -> segment dicts (s)."""
+    return [
+        {"speaker": str(u["speaker"]), "start": u["start"] / 1000.0,
+         "end": u["end"] / 1000.0}
+        for u in (response.get("utterances") or [])
+    ]
+
+
+def deepgram_segments(response: dict) -> list[dict]:
+    """Deepgram ``results.utterances`` -> segment dicts."""
+    utterances = (response.get("results") or {}).get("utterances") or []
+    return [
+        {"speaker": f"SPEAKER_{u['speaker']}", "start": float(u["start"]),
+         "end": float(u["end"])}
+        for u in utterances
+    ]
+
+
+def elevenlabs_segments(response: dict) -> list[dict]:
+    """ElevenLabs scribe word-level ``speaker_id`` -> segments by grouping
+    consecutive words of the same speaker (reference :296-353)."""
+    segments: list[dict] = []
+    cur = None
+    for word in response.get("words") or []:
+        spk, start, end = (word.get("speaker_id"), word.get("start"),
+                           word.get("end"))
+        if spk is None or start is None or end is None:
+            continue
+        if cur is not None and spk == cur["speaker_id"]:
+            cur["end"] = float(end)
+            continue
+        if cur is not None:
+            segments.append({"speaker": f"SPEAKER_{cur['speaker_id']}",
+                             "start": cur["start"], "end": cur["end"]})
+        cur = {"speaker_id": spk, "start": float(start), "end": float(end)}
+    if cur is not None:
+        segments.append({"speaker": f"SPEAKER_{cur['speaker_id']}",
+                         "start": cur["start"], "end": cur["end"]})
+    return segments
+
+
+def _api_diarize_fn(backend: str, **client_kwargs):
+    """Build a ``diarize_fn(audio_array, sample_rate)`` for an API backend."""
+    from tiny_audio_tpu.eval.evaluators import api
+
+    def fn(audio_array, sample_rate=16000):
+        wav = api.audio_to_wav_bytes(
+            {"array": audio_array, "sampling_rate": sample_rate}
+        )
+        if backend == "assemblyai":
+            resp = api.assemblyai_transcribe(
+                wav, api.require_key("ASSEMBLYAI_API_KEY"),
+                speaker_labels=True, **client_kwargs,
+            )
+            return assemblyai_segments(resp)
+        if backend == "deepgram":
+            resp = api.deepgram_transcribe(
+                wav, api.require_key("DEEPGRAM_API_KEY"),
+                diarize=True, utterances=True, **client_kwargs,
+            )
+            return deepgram_segments(resp)
+        if backend == "elevenlabs":
+            resp = api.elevenlabs_transcribe(
+                wav, api.require_key("ELEVENLABS_API_KEY"),
+                diarize=True, **client_kwargs,
+            )
+            return elevenlabs_segments(resp)
+        raise ValueError(f"unknown diarization backend {backend!r}")
+
+    return fn
+
+
+def make_diarization_evaluator(backend: str = "local",
+                               **kwargs) -> DiarizationEvaluator:
+    """Backend dispatch: 'local' or an API vendor name (key-gated)."""
+    if backend == "local":
+        return DiarizationEvaluator(**kwargs)
+    return DiarizationEvaluator(
+        diarize_fn=_api_diarize_fn(backend),
+        model_name=f"{backend}-diarization", **kwargs,
+    )

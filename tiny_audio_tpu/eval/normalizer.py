@@ -7,16 +7,17 @@ BOTH hypothesis and reference so the metric stays symmetric.
 
 The reference loads the British->American spelling map from the whisper-tiny
 tokenizer's ``english.json`` (a Hub download); offline we run the same
-normalizer class with a built-in subset of the highest-frequency spelling
-pairs.  This only affects WER absolute values on British-spelling corpora and
-is applied symmetrically.
+normalizer class with the stem-family map in
+:mod:`tiny_audio_tpu.eval.spelling` (~600 pairs), overridable with a real
+``english.json`` via ``TA_ENGLISH_JSON`` or the ``spelling_path`` arg.
 """
 
 from __future__ import annotations
 
 import re
 
-# High-frequency British->American pairs (subset of Whisper's english.json)
+# Legacy built-in subset, kept as the last-resort fallback if the spelling
+# module is unavailable (the full map lives in eval/spelling.py)
 _SPELLING = {
     "accessorise": "accessorize", "analyse": "analyze", "analysed": "analyzed",
     "apologise": "apologize", "behaviour": "behavior", "behaviours": "behaviors",
@@ -50,12 +51,14 @@ _PROJECT_FIXES = [
 class TextNormalizer:
     """Symmetric WER normalizer: Whisper English normalization + fixes."""
 
-    def __init__(self):
+    def __init__(self, spelling_path: str | None = None):
         from transformers.models.whisper.english_normalizer import (
             EnglishTextNormalizer,
         )
 
-        self._whisper = EnglishTextNormalizer(_SPELLING)
+        from tiny_audio_tpu.eval.spelling import load_spelling_map
+
+        self._whisper = EnglishTextNormalizer(load_spelling_map(spelling_path))
 
     def normalize(self, text: str) -> str:
         out = self._whisper(text or "")
