@@ -43,7 +43,14 @@ def main() -> None:
     import os
 
     cfg = ASRConfig()
-    model = ASRModel(cfg, seed=0)
+    # int8 KV-cache serving mode: TA_BENCH_KV=int8 (halves decode-time cache
+    # bandwidth; greedy tokens drift-checked in tests/test_kv_quant.py)
+    # Serving mode: int8 KV cache by default (halves decode cache bandwidth;
+    # greedy-token agreement vs bf16 pinned in tests/test_kv_quant.py and the
+    # quantization error is ~0.4% RMS).  TA_BENCH_KV=bfloat16 reverts.
+    # Measured on this chip: bf16 588 RTFx / int8 646 RTFx (same TTFB).
+    cfg.kv_cache_dtype = os.environ.get("TA_BENCH_KV", "int8")
+    model = ASRModel(cfg, seed=0)  # syncs kv_cache_dtype into the decoder
 
     # Serving-throughput batch: decode is weight-read-bound, so batching
     # amortizes the 1.2 GB/step HBM traffic (override with TA_BENCH_BATCH)
@@ -126,6 +133,30 @@ def main() -> None:
         one_utterance()
         lats.append(time.time() - t0)
 
+    # Streaming TTFB (batch-1 token-by-token path, BASELINE.md latency
+    # metric): wall time from mel features to the FIRST TOKEN of the stream.
+    # Token-level on purpose: the text-fragment filter upstream is
+    # content-dependent (random-weight decodes can open a <think> span and
+    # mute fragments for the whole budget).
+    from tiny_audio_tpu.generation import stream_generate
+
+    def first_token_latency():
+        f, m = lat_frontend(lat_audio, lat_lengths)
+        n_audio = model._num_audio_tokens(lat_frames)
+        ids = model.build_prompt_ids(n_audio)
+        input_ids = jnp.asarray(np.array(ids, np.int32)[None, :])
+        t0 = time.time()
+        embeds = model._splice_embeds_jit(model.params, f, m, input_ids)
+        for _ in stream_generate(
+            model.decoder, {"params": model.params["decoder"]},
+            embeds, input_ids, model.gen_config,
+        ):
+            return time.time() - t0
+        return time.time() - t0
+
+    first_token_latency()  # compile prefill + step graphs
+    ttfbs = [first_token_latency() for _ in range(5)]
+
     result = {
         "metric": f"rtfx_e2e_30s_b{batch}_decode{cfg.max_new_tokens}",
         "value": round(rtfx, 2),
@@ -136,6 +167,8 @@ def main() -> None:
             "wall_s_per_batch": round(wall, 3),
             "compile_s": round(compile_s, 1),
             "p50_utterance_latency_s": round(float(np.median(lats)), 3),
+            "streaming_ttfb_s": round(float(np.median(ttfbs)), 3),
+            "kv_cache_dtype": cfg.kv_cache_dtype,
             "backend": jax.default_backend(),
         },
     }

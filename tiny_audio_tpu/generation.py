@@ -176,7 +176,7 @@ def generate_tokens(
     """
     cfg = decoder.cfg
     b, t, _ = inputs_embeds.shape
-    s = t + gen.max_new_tokens
+    s = -(-(t + gen.max_new_tokens) // 16) * 16  # 16-row align: Pallas DMA slabs
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
@@ -306,70 +306,26 @@ def generate_tokens(
     return state["tokens"], lengths.astype(jnp.int32)
 
 
-def stream_generate(
-    decoder: Qwen3Decoder,
-    variables: Any,
-    inputs_embeds: jax.Array,
-    input_ids: jax.Array,
-    gen: GenerationConfig,
-    rng: Optional[jax.Array] = None,
-) -> Iterator[int]:
-    """Token-by-token generator (batch size 1): prefill once, then one jitted
-    step per token with a host sync — the TTFB-optimized streaming path."""
-    assert inputs_embeds.shape[0] == 1, "streaming is defined for batch 1"
-
-    cfg = decoder.cfg
+@functools.partial(jax.jit, static_argnames=("decoder", "gen"))
+def _stream_prefill(decoder, variables, inputs_embeds, input_ids, cache, rng, gen):
+    """Prefill + FIRST token selection as one graph (eager logit ops over the
+    151k vocab through the remote-TPU tunnel cost ~30 ms per dispatch)."""
     b, t, _ = inputs_embeds.shape
-    s = t + gen.max_new_tokens
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
-
-    cache = decoder.init_cache(b, s, dtype=decoder.dtype)
+    cfg = decoder.cfg
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    logits, new_cache = decoder.apply(
+        variables, inputs_embeds, positions,
+        padding_mask=jnp.ones((b, t), jnp.int32),
+        cache=cache, cache_index=0,
+    )
+    last_logits = logits[:, -1].astype(jnp.float32)
 
-    @jax.jit
-    def prefill(variables, inputs_embeds):
-        logits, new_cache = decoder.apply(
-            variables, inputs_embeds, positions,
-            padding_mask=jnp.ones((b, t), jnp.int32),
-            cache=cache, cache_index=0,
-        )
-        return logits[:, -1].astype(jnp.float32), new_cache
-
-    use_ngram = gen.no_repeat_ngram_size >= 2
-
-    @functools.partial(jax.jit, donate_argnames=("step_cache",))
-    def step_fn(variables, cur, pos, step_cache, seen, all_tokens, key, eos_active):
-        embeds = decoder.apply(variables, cur[:, None], method=Qwen3Decoder.embed)
-        kv_valid = (jnp.arange(s) < pos)[None, :].astype(jnp.int32)  # fresh pos appended in-kernel
-        logits, new_cache = decoder.apply(
-            variables, embeds, jnp.full((b, 1), pos, jnp.int32),
-            step_kv_valid=kv_valid,
-            cache=step_cache, cache_index=pos,
-        )
-        logits = logits[:, 0].astype(jnp.float32)
-        if gen.repetition_penalty != 1.0:
-            logits = _apply_repetition_penalty(logits, seen, gen.repetition_penalty)
-        if use_ngram:
-            all_tokens = all_tokens.at[:, pos].set(cur)
-            logits = _ban_repeated_ngrams(
-                logits, all_tokens, pos + 1, gen.no_repeat_ngram_size
-            )
-        if gen.eos_token_ids:
-            logits = _mask_eos(logits, gen.eos_token_ids, eos_active)
-        tok = _select_token(logits, gen, key)
-        if gen.repetition_penalty != 1.0:
-            seen = seen.at[jnp.arange(b), tok].set(True)
-        return tok, new_cache, seen, all_tokens
-
-    last_logits, cache = prefill(variables, inputs_embeds)
     if gen.repetition_penalty != 1.0:
         seen = jnp.zeros((b, cfg.vocab_size), dtype=bool)
         seen = seen.at[jnp.arange(b)[:, None], input_ids].set(True)
     else:
         seen = jnp.zeros((b, 1), dtype=bool)
-
-    if use_ngram:
+    if gen.no_repeat_ngram_size >= 2:
         all_tokens = jnp.concatenate(
             [input_ids.astype(jnp.int32),
              jnp.full((b, gen.max_new_tokens), gen.pad_token_id, jnp.int32)],
@@ -381,7 +337,7 @@ def stream_generate(
     rng, key = jax.random.split(rng)
     if gen.repetition_penalty != 1.0:
         last_logits = _apply_repetition_penalty(last_logits, seen, gen.repetition_penalty)
-    if use_ngram:
+    if gen.no_repeat_ngram_size >= 2:
         last_logits = _ban_repeated_ngrams(
             last_logits, all_tokens, jnp.int32(t), gen.no_repeat_ngram_size
         )
@@ -392,6 +348,72 @@ def stream_generate(
     tok = _select_token(last_logits, gen, key)
     if gen.repetition_penalty != 1.0:
         seen = seen.at[jnp.arange(b), tok].set(True)
+    return tok, new_cache, seen, all_tokens, rng
+
+
+@functools.partial(
+    jax.jit, static_argnames=("decoder", "gen", "t"),
+    donate_argnames=("step_cache",),
+)
+def _stream_step(decoder, variables, cur, pos, t, step_cache, seen, all_tokens,
+                 rng, gen):
+    """One decode step: rng split, penalties, selection all in-graph — the
+    only per-token host traffic is the token sync itself."""
+    b = cur.shape[0]
+    s = step_cache["k"].shape[2]
+    rng, key = jax.random.split(rng)
+    embeds = decoder.apply(variables, cur[:, None], method=Qwen3Decoder.embed)
+    kv_valid = (jnp.arange(s) < pos)[None, :].astype(jnp.int32)  # fresh pos appended in-kernel
+    logits, new_cache = decoder.apply(
+        variables, embeds, jnp.full((b, 1), pos, jnp.int32),
+        step_kv_valid=kv_valid,
+        cache=step_cache, cache_index=pos,
+    )
+    logits = logits[:, 0].astype(jnp.float32)
+    if gen.repetition_penalty != 1.0:
+        logits = _apply_repetition_penalty(logits, seen, gen.repetition_penalty)
+    if gen.no_repeat_ngram_size >= 2:
+        all_tokens = all_tokens.at[:, pos].set(cur)
+        logits = _ban_repeated_ngrams(
+            logits, all_tokens, pos + 1, gen.no_repeat_ngram_size
+        )
+    if gen.min_new_tokens > 0 and gen.eos_token_ids:
+        logits = _mask_eos(
+            logits, gen.eos_token_ids,
+            jnp.full((b,), True) & (pos - t + 1 < gen.min_new_tokens),
+        )
+    tok = _select_token(logits, gen, key)
+    if gen.repetition_penalty != 1.0:
+        seen = seen.at[jnp.arange(b), tok].set(True)
+    return tok, new_cache, seen, all_tokens, rng
+
+
+def stream_generate(
+    decoder: Qwen3Decoder,
+    variables: Any,
+    inputs_embeds: jax.Array,
+    input_ids: jax.Array,
+    gen: GenerationConfig,
+    rng: Optional[jax.Array] = None,
+) -> Iterator[int]:
+    """Token-by-token generator (batch size 1): prefill once, then one jitted
+    step per token — the TTFB-optimized streaming path.
+
+    The prefill/step graphs live at module scope so their jit caches persist
+    across calls (per-utterance closures would retrace every request), and
+    every logit-sized op is in-graph; the only per-token host op is the
+    token sync that feeds the stream."""
+    assert inputs_embeds.shape[0] == 1, "streaming is defined for batch 1"
+
+    b, t, _ = inputs_embeds.shape
+    s = -(-(t + gen.max_new_tokens) // 16) * 16  # 16-row align: Pallas DMA slabs
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    cache = decoder.init_cache(b, s, dtype=decoder.dtype)
+    tok, cache, seen, all_tokens, rng = _stream_prefill(
+        decoder, variables, inputs_embeds, input_ids, cache, rng, gen
+    )
 
     eos = set(gen.eos_token_ids)
     for step in range(gen.max_new_tokens):
@@ -401,10 +423,9 @@ def stream_generate(
         yield tok_host
         if step == gen.max_new_tokens - 1:
             return
-        rng, key = jax.random.split(rng)
-        eos_active = jnp.full((b,), step + 1 < gen.min_new_tokens)
-        tok, cache, seen, all_tokens = step_fn(
-            variables, tok, t + step, cache, seen, all_tokens, key, eos_active
+        tok, cache, seen, all_tokens, rng = _stream_step(
+            decoder, variables, tok, t + step, t, cache, seen, all_tokens,
+            rng, gen,
         )
 
 
@@ -438,7 +459,7 @@ def generate_beams(
     cfg = decoder.cfg
     k = gen.num_beams
     b, t, h = inputs_embeds.shape
-    s = t + gen.max_new_tokens
+    s = -(-(t + gen.max_new_tokens) // 16) * 16  # 16-row align: Pallas DMA slabs
     neg_inf = jnp.float32(-1e30)
 
     # ---- prefill once per row, then replicate state across beams

@@ -287,6 +287,21 @@ class ASRModel:
         )
         return list(map(int, ids))
 
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _splice_embeds_jit(self, params, input_features, audio_attention_mask,
+                           input_ids):
+        """Encoder + projector + prompt splice as ONE graph — the streaming
+        prefill path must not run the 32-layer encoder eagerly (measured:
+        op-by-op dispatch through the axon tunnel costs seconds)."""
+        audio_embeds, _ = self._encode_audio(
+            params, input_features, audio_attention_mask, train=False
+        )
+        text_embeds = self.decoder.apply(
+            {"params": params["decoder"]}, input_ids, method=Qwen3Decoder.embed
+        )
+        audio_mask = input_ids == self.tokenizer.audio_token_id
+        return splice_audio(text_embeds, audio_mask, audio_embeds)
+
     @functools.partial(jax.jit, static_argnames=("self", "gen"))
     def _generate_jit(
         self,
@@ -374,14 +389,9 @@ class ASRModel:
         ids = self.build_prompt_ids(n_audio, user_prompt, system_prompt)
         input_ids = jnp.asarray(np.array(ids, np.int32)[None, :])
 
-        audio_embeds, _ = self._encode_audio(
-            self.params, input_features, audio_attention_mask, train=False
+        inputs_embeds = self._splice_embeds_jit(
+            self.params, input_features, audio_attention_mask, input_ids
         )
-        text_embeds = self.decoder.apply(
-            {"params": self.params["decoder"]}, input_ids, method=Qwen3Decoder.embed
-        )
-        audio_mask = input_ids == self.tokenizer.audio_token_id
-        inputs_embeds = splice_audio(text_embeds, audio_mask, audio_embeds)
 
         in_think = False
         buffer = ""

@@ -125,6 +125,7 @@ class Qwen3Block(nn.Module):
                 out = decode_step_attention(
                     q, cache_k, cache_v, step_kv_valid, fresh_k=k, fresh_v=v,
                     k_scale=scales[0], v_scale=scales[1],
+                    kv_len=cache_index,  # scalar -> TPU length-aware kernel
                 )
             else:  # prefill: causal attention over the fresh K/V only
                 out = causal_self_attention(q, k, v, padding_mask)

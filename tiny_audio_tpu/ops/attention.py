@@ -195,8 +195,20 @@ def decode_step_attention(
     fresh_v: Optional[jax.Array] = None,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
+    kv_len: Optional[jax.Array] = None,
 ) -> jax.Array:
     """q_len==1 attention over the KV cache.  kv_valid: [B, S] or [S].
+
+    ``kv_len`` (scalar: number of valid cache positions, equal for all rows —
+    the decode loops' ``cache_index``) enables the fused length-aware Pallas
+    kernel (ops/decode_attention.py) via TA_PALLAS_DECODE=1.  The kernel wins
+    in isolation (3.9 -> 2.1 ms per 28-layer step at S=512, kv_len=440, b32
+    v5e: it skips HBM reads of the invalid cache tail) but is OPT-IN because
+    inside the generate while_loop it costs more than it saves: XLA only
+    keeps the carried KV cache update in-place for its own ops — any custom
+    call reading the carry forces a full defensive cache copy per step
+    (measured 3.7 -> 8.3 ms/step e2e; an aliased in-kernel updater made it
+    16 ms/step).  docs/performance.md has the full measurement trail.
 
     When ``fresh_k``/``fresh_v`` ([B, 1, Hkv, D]) are given, the cache is
     treated as STALE at the current position: attention runs over the masked
@@ -216,6 +228,22 @@ def decode_step_attention(
     if fresh_k is None:
         mask = kv_valid.astype(bool)[:, None, None, :]
         return _naive.attention(q, cache_k, cache_v, mask=mask)
+
+    if (
+        kv_len is not None
+        and _platform() == "tpu"
+        and os.environ.get("TA_PALLAS_DECODE") == "1"
+        and cache_k.shape[-1] == 128
+        and cache_k.shape[1] % 8 == 0
+        and q.shape[2] % cache_k.shape[2] == 0
+    ):
+        from tiny_audio_tpu.ops.decode_attention import decode_attention_tpu
+
+        out = decode_attention_tpu(
+            q[:, 0], cache_k, cache_v, fresh_k[:, 0], fresh_v[:, 0],
+            kv_len, k_scale=k_scale, v_scale=v_scale,
+        )
+        return out[:, None].astype(q.dtype)
 
     b, _, hq, d = q.shape
     hkv = cache_k.shape[2]

@@ -1,0 +1,215 @@
+"""Fused decode-step attention as a Pallas TPU kernel.
+
+Replaces the XLA masked-matvec decode attention
+(:func:`tiny_audio_tpu.ops.attention.decode_step_attention`, the round-1
+path) for the KV-cached decode hot loop.  What the kernel buys over XLA:
+
+- **Length-aware cache reads.** The cache is a static [B, S, Hkv*D] ring but
+  only ``kv_len`` positions are valid; XLA reads all S rows every step and
+  masks.  Here the valid prefix length is scalar-prefetched and the kernel
+  DMAs only ``ceil(kv_len / BLOCK)`` slabs from HBM — decode is
+  bandwidth-bound, so skipped bytes are time saved (prompt ~375 of S~503 at
+  step 0 -> ~25% less KV traffic early, ~12% averaged over a 128-token
+  decode).
+- **Native int8 cache reads.** With ``kv_cache_dtype="int8"`` the slabs move
+  HBM->VMEM as int8 (half traffic) and dequantize in VMEM; the scale folding
+  matches the XLA path (scores * k_scale, probs * v_scale).
+- **One fused pass**: QK, valid-prefix masking, the stale-cache + fresh-self
+  softmax (the single-cache-write decode contract, models/decoder.py:57),
+  and PV run per (batch) program with zero intermediate HBM traffic.
+
+Numerical contract: identical to ``decode_step_attention`` with a
+prefix-valid mask (tests/test_decode_attention.py compares both, and the
+greedy-tokens-unchanged test pins end-to-end equivalence).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tiny_audio_tpu.models.layers import MASK_VALUE
+
+BLOCK = 256  # cache rows per DMA slab
+
+
+def _kernel(
+    len_ref,      # SMEM scalar-prefetch: [1] int32 valid cache length
+    q_ref,        # VMEM [1, Hq, D]
+    k_hbm,        # ANY  [B, S, Hkv*D] (bf16 or int8)
+    v_hbm,        # ANY  [B, S, Hkv*D]
+    fresh_k_ref,  # VMEM [1, Hkv, D]
+    fresh_v_ref,  # VMEM [1, Hkv, D]
+    k_scale_ref,  # VMEM [1, S, Hkv] fp32 (dummy [1, 1, Hkv] when bf16)
+    v_scale_ref,  # VMEM
+    o_ref,        # VMEM [1, Hq, D]
+    k_buf,        # VMEM scratch (S, Hkv*D) cache dtype
+    v_buf,
+    sems,         # DMA sems (n_blocks, 2)
+    *,
+    hkv: int,
+    group: int,
+    d: int,
+    s: int,
+    quantized: bool,
+):
+    b = pl.program_id(0)
+    kv_len = len_ref[0]
+    n_blocks = pl.cdiv(s, BLOCK)
+
+    def copies(i, size):
+        c = [
+            pltpu.make_async_copy(
+                k_hbm.at[b, pl.ds(i * BLOCK, size)],
+                k_buf.at[pl.ds(i * BLOCK, size)], sems.at[i, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[b, pl.ds(i * BLOCK, size)],
+                v_buf.at[pl.ds(i * BLOCK, size)], sems.at[i, 1],
+            ),
+        ]
+        return c
+
+    # issue DMAs for valid slabs; zero-fill the rest (garbage VMEM would
+    # poison PV through 0 * NaN even under the score mask)
+    for i in range(pl.cdiv(s, BLOCK)):
+        size = min(BLOCK, s - i * BLOCK)
+
+        @pl.when(i * BLOCK < kv_len)
+        def _(i=i, size=size):
+            for c in copies(i, size):
+                c.start()
+
+        @pl.when(i * BLOCK >= kv_len)
+        def _(i=i, size=size):
+            k_buf[pl.ds(i * BLOCK, size)] = jnp.zeros(
+                (size, hkv * d), k_buf.dtype
+            )
+            v_buf[pl.ds(i * BLOCK, size)] = jnp.zeros(
+                (size, hkv * d), v_buf.dtype
+            )
+
+    for i in range(pl.cdiv(s, BLOCK)):
+        size = min(BLOCK, s - i * BLOCK)
+
+        @pl.when(i * BLOCK < kv_len)
+        def _(i=i, size=size):
+            for c in copies(i, size):
+                c.wait()
+
+    scale = d ** -0.5
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (group, s), 1) < kv_len
+    )
+    compute_dtype = q_ref.dtype
+    for h in range(hkv):
+        q_h = q_ref[0, h * group:(h + 1) * group, :]          # [G, D]
+        k_h = k_buf[:, h * d:(h + 1) * d]                      # [S, D]
+        v_h = v_buf[:, h * d:(h + 1) * d]
+        if quantized:
+            k_h = k_h.astype(compute_dtype)
+            v_h = v_h.astype(compute_dtype)
+        scores = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                              # [G, S]
+        if quantized:
+            scores = scores * k_scale_ref[0, :, h][None, :]
+        scores = jnp.where(valid, scores, MASK_VALUE)
+
+        fresh_k_h = fresh_k_ref[0, h, :]
+        self_score = jnp.sum(
+            q_h.astype(jnp.float32) * fresh_k_h.astype(jnp.float32)[None, :],
+            axis=-1, keepdims=True,
+        ) * scale                                              # [G, 1]
+
+        # stale-cache + fresh-self softmax without a lane-axis concat
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), self_score)
+        e_cache = jnp.exp(scores - m)
+        e_self = jnp.exp(self_score - m)
+        denom = jnp.sum(e_cache, axis=-1, keepdims=True) + e_self
+        cache_p = e_cache / denom
+        if quantized:
+            cache_p = cache_p * v_scale_ref[0, :, h][None, :]
+        out_h = jax.lax.dot_general(
+            cache_p.astype(compute_dtype), v_h,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_h = out_h + (e_self / denom) * fresh_v_ref[0, h, :].astype(
+            jnp.float32
+        )[None, :]
+        o_ref[0, h * group:(h + 1) * group, :] = out_h.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret",), donate_argnames=()
+)
+def decode_attention_tpu(
+    q: jax.Array,          # [B, Hq, D]
+    cache_k: jax.Array,    # [B, S, Hkv, D] bf16/int8
+    cache_v: jax.Array,
+    fresh_k: jax.Array,    # [B, Hkv, D]
+    fresh_v: jax.Array,
+    kv_len: jax.Array,     # scalar int32: valid cache prefix length
+    k_scale: jax.Array | None = None,   # [B, S, Hkv] fp32
+    v_scale: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused single-step decode attention; returns [B, Hq, D]."""
+    b, s, hkv, d = cache_k.shape
+    hq = q.shape[1]
+    group = hq // hkv
+    quantized = k_scale is not None
+
+    k_flat = cache_k.reshape(b, s, hkv * d)
+    v_flat = cache_v.reshape(b, s, hkv * d)
+    if not quantized:  # dummies keep the kernel signature static
+        k_scale = jnp.zeros((b, 1, hkv), jnp.float32)
+        v_scale = jnp.zeros((b, 1, hkv), jnp.float32)
+
+    n_blocks = pl.cdiv(s, BLOCK)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, hkv, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + k_scale.shape[1:], lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + v_scale.shape[1:], lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((s, hkv * d), cache_k.dtype),
+            pltpu.VMEM((s, hkv * d), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((n_blocks, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel, hkv=hkv, group=group, d=d, s=s, quantized=quantized
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=14 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(kv_len, jnp.int32).reshape(1),
+        q, k_flat, v_flat, fresh_k, fresh_v, k_scale, v_scale,
+    )
