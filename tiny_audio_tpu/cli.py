@@ -59,8 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
     dev = sub.add_parser("dev", help="Developer tasks")
     dev.add_argument(
         "task",
-        choices=["test", "lint", "format", "type-check", "coverage",
-                 "build-native"],
+        choices=["test", "test-all", "lint", "format", "type-check",
+                 "coverage", "build-native"],
     )
     dev.set_defaults(func=_cmd_dev)
 
@@ -116,7 +116,9 @@ def _cmd_dev(args) -> int:
 
     repo = Path(__file__).resolve().parent.parent
     cmds = {
-        "test": [sys.executable, "-m", "pytest", "tests/", "-x", "-q"],
+        "test": [sys.executable, "-m", "pytest", "tests/", "-x", "-q",
+                 "-m", "not slow"],  # iteration profile; `ta dev test-all` = full
+        "test-all": [sys.executable, "-m", "pytest", "tests/", "-x", "-q"],
         "lint": [sys.executable, "-m", "ruff", "check", "tiny_audio_tpu", "tests"],
         "format": [sys.executable, "-m", "ruff", "format", "tiny_audio_tpu",
                    "tests", "scripts"],

@@ -26,10 +26,31 @@ class EndpointHandler:
 
             self.pipe = ASRPipeline(ASRModel.from_pretrained(path))
 
-    def warmup(self, seconds: float = 3.0) -> None:
-        """Trigger jit compilation for the default mel bucket."""
-        silent = np.zeros(int(seconds * 16000), np.float32)
-        self.pipe(silent)
+    def warmup(self, seconds: Optional[float] = None,
+               longform: bool = True) -> None:
+        """AOT-compile the serving graphs at boot.
+
+        Without ``seconds``, compiles EVERY mel bucket (each bucket is a
+        distinct jit shape — on this chip a cold bucket costs tens of
+        seconds of compile, and the persistent cache only helps across
+        restarts) plus, when ``longform``, the LONGFORM_BATCH-sized chunked
+        graph that >30 s inputs dispatch to.  With ``seconds``, compiles
+        just that one bucket (the round-1 behavior).
+        """
+        from tiny_audio_tpu.ops import mel
+
+        if seconds is not None:
+            self.pipe(np.zeros(int(seconds * 16000), np.float32))
+            return
+        buckets = getattr(self.pipe.processor, "mel_buckets", (3000,))
+        for frames in buckets:
+            n = frames * mel.HOP_LENGTH
+            self.pipe(np.zeros(n, np.float32))
+        if longform:
+            from tiny_audio_tpu.pipeline import ASRPipeline
+
+            # two 30 s chunks -> exercises the chunked longform batch shape
+            self.pipe(np.zeros(2 * 3000 * mel.HOP_LENGTH, np.float32))
 
     def __call__(self, data: dict[str, Any]) -> dict:
         inputs = data.get("inputs")

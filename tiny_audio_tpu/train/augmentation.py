@@ -20,12 +20,39 @@ chain runs on dataloader workers with zero extra dependencies:
 
 from __future__ import annotations
 
+import threading
 from pathlib import Path
 from typing import Optional, Sequence
 
 import numpy as np
 
 SAMPLE_RATE = 16000
+
+
+class _ThreadRng:
+    """Thread-local numpy Generator, spawned from one SeedSequence.
+
+    ``np.random.Generator`` is not safe under concurrent calls; the
+    augmentation chain runs on ``batch_iterator``'s transform thread pool,
+    so each thread gets its own deterministic child stream.  Delegates
+    attribute access, so it drops in wherever a Generator was used.
+    """
+
+    def __init__(self, seed: int):
+        self._seq = np.random.SeedSequence(seed)
+        self._lock = threading.Lock()
+        self._tls = threading.local()
+
+    def _get(self) -> np.random.Generator:
+        rng = getattr(self._tls, "rng", None)
+        if rng is None:
+            with self._lock:
+                child = self._seq.spawn(1)[0]
+            rng = self._tls.rng = np.random.default_rng(child)
+        return rng
+
+    def __getattr__(self, name):
+        return getattr(self._get(), name)
 
 
 def _fft_convolve(audio: np.ndarray, kernel: np.ndarray) -> np.ndarray:
@@ -116,7 +143,7 @@ class RIRAugmentation:
         n_synthetic: int = 32,
     ):
         self.p = p
-        self.rng = np.random.default_rng(seed)
+        self.rng = _ThreadRng(seed)  # thread-safe: see _ThreadRng
         self.rirs: list[np.ndarray] = []
         if rir_dir and Path(rir_dir).is_dir():
             self.rirs = _load_wav_dir(rir_dir)
@@ -156,7 +183,7 @@ class NoiseAugmentation:
         p_filter: float = 0.3,
         seed: int = 0,
     ):
-        self.rng = np.random.default_rng(seed)
+        self.rng = _ThreadRng(seed)  # thread-safe: see _ThreadRng
         self.p_background = p_background
         self.p_transient = p_transient
         self.p_eq = p_eq
@@ -294,7 +321,7 @@ class AugmentationPipeline:
         self.rir = rir
         self.noise = noise
         self.silence_injection_prob = silence_injection_prob
-        self.rng = np.random.default_rng(seed)
+        self.rng = _ThreadRng(seed)  # thread-safe: see _ThreadRng
 
     def __call__(self, sample: dict) -> dict:
         """sample: {"audio": {"array", "sampling_rate"}, "text", ...}."""

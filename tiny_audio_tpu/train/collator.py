@@ -190,8 +190,14 @@ class DataCollator:
             "input_ids": input_ids,
             "attention_mask": attn,
             "labels": labels,
-            "input_features": np.asarray(feats["input_features"]),
-            "audio_attention_mask": np.asarray(feats["audio_attention_mask"]),
+            # Keep the mel features as device arrays: extract_features
+            # computes them on-device (one jitted matmul), and a numpy
+            # round-trip here costs a device->host transfer per batch only
+            # for the train step to push the same bytes back
+            # (scripts/bench_host_pipeline.py: 1.1 s/sample -> ~2 ms/sample
+            # through the remote-TPU tunnel).
+            "input_features": feats["input_features"],
+            "audio_attention_mask": feats["audio_attention_mask"],
             "audio_token_counts": token_counts.astype(np.int32),
         }
 

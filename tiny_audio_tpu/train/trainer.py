@@ -63,6 +63,10 @@ class TrainingConfig:
     # optimizer (flattened into OptimizerConfig)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     prefetch_depth: int = 2
+    # transform (augmentation) thread-pool width — the reference's
+    # dataloader_num_workers; 0 = inline.  scripts/bench_host_pipeline.py
+    # measures whether the host sustains the device rate.
+    dataloader_workers: int = 4
     log_to_wandb: bool = False
     wandb_project: str = "tiny-audio-tpu"
 
@@ -115,6 +119,7 @@ def batch_iterator(
     drop_last: bool = True,
     group_by_length: bool = False,
     length_window: int = 50,
+    transform_workers: int = 0,
 ):
     """Shuffled epoch loop -> collated numpy batches.
 
@@ -126,7 +131,17 @@ def batch_iterator(
     order — the reference's HF ``group_by_length`` (production.yaml), which
     on TPU also concentrates each batch into one mel bucket (less padding
     compute, fewer compiled shapes per step).
+    ``transform_workers``: per-batch thread pool for the augmentation
+    transform — the DSP is numpy/FFT (GIL-releasing), so threads scale it
+    like the reference's dataloader workers
+    (``/root/reference/configs/experiments/embedded.yaml:36-39``); measure
+    with ``scripts/bench_host_pipeline.py``.
     """
+    pool = None
+    if transform is not None and transform_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(transform_workers)
     rng = np.random.default_rng(seed)
     n = len(dataset)
     epoch = 0
@@ -150,7 +165,10 @@ def batch_iterator(
         for i in starts:
             rows = [dataset[int(j)] for j in order[i : i + batch_size]]
             if transform is not None:
-                rows = [transform(r) for r in rows]
+                rows = (
+                    list(pool.map(transform, rows)) if pool is not None
+                    else [transform(r) for r in rows]
+                )
             try:
                 yield collator(rows)
                 yielded += 1
@@ -388,10 +406,14 @@ class Trainer:
         n = batch["input_ids"].shape[0]
         target = -(-n // dp) * dp
         if target != n:
-            idx = np.concatenate([np.arange(n), np.arange(target - n) % n])
-            batch = {k: np.asarray(v)[idx] for k, v in batch.items()}
-            batch["labels"] = batch["labels"].copy()
-            batch["labels"][n:] = -100
+            # jnp indexing: the mel features are already device arrays
+            # (collator keeps them on device) — np.asarray here would pull
+            # them back through the host
+            idx = jnp.asarray(
+                np.concatenate([np.arange(n), np.arange(target - n) % n])
+            )
+            batch = {k: jnp.asarray(v)[idx] for k, v in batch.items()}
+            batch["labels"] = batch["labels"].at[n:].set(-100)
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.asarray(x), self._batch_sharding), batch
         )
@@ -409,6 +431,7 @@ class Trainer:
                 self.train_dataset, self.collator, global_bs,
                 seed=cfg.seed, transform=self.transform,
                 group_by_length=cfg.group_by_length,
+                transform_workers=cfg.dataloader_workers,
             ),
             depth=cfg.prefetch_depth,
         )
