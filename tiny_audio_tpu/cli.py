@@ -60,7 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     dev.add_argument(
         "task",
         choices=["test", "test-all", "lint", "format", "type-check",
-                 "coverage", "build-native"],
+                 "coverage", "build-native", "security-scan", "docstrings",
+                 "dead-code", "precommit"],
     )
     dev.set_defaults(func=_cmd_dev)
 
@@ -128,6 +129,48 @@ def _cmd_dev(args) -> int:
                      "--cov=tiny_audio_tpu"],
         "build-native": ["make", "-C", str(repo / "native")],
     }
+
+    # Self-contained analyzers (reference: bandit/interrogate/vulture via
+    # scripts/dev.py; none installed here -> tiny_audio_tpu.devtools)
+    src = [str(repo / "tiny_audio_tpu"), str(repo / "scripts")]
+    if args.task == "security-scan":
+        from tiny_audio_tpu.devtools import security_scan
+
+        findings = security_scan(src)
+        for f in findings:
+            print(f)
+        print(f"{len(findings)} security finding(s)")
+        return 1 if findings else 0
+    if args.task == "docstrings":
+        from tiny_audio_tpu.devtools import docstring_coverage
+
+        pct, missing = docstring_coverage([str(repo / "tiny_audio_tpu")])
+        for f in missing[:40]:
+            print(f)
+        print(f"docstring coverage: {pct:.1f}% (fail-under 50)")
+        return 1 if pct < 50.0 else 0
+    if args.task == "dead-code":
+        from tiny_audio_tpu.devtools import dead_code
+
+        findings = dead_code(src)
+        for f in findings:
+            print(f)
+        print(f"{len(findings)} candidate(s) — heuristic, verify before "
+              "deleting")
+        return 0  # advisory, like vulture in the reference's check set
+    if args.task == "precommit":
+        # the reference's pre-commit hook chain: format -> lint -> security
+        # -> docstrings -> fast tests, stopping on first failure
+        for task in ("format", "lint"):
+            rc = subprocess.call(cmds[task])
+            if rc != 0:
+                return rc
+        for task in ("security-scan", "docstrings", "test"):
+            rc = _cmd_dev(argparse.Namespace(task=task))
+            if rc != 0:
+                return rc
+        return 0
+
     try:
         return subprocess.call(cmds[args.task])
     except FileNotFoundError as e:
