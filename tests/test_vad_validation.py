@@ -1,0 +1,149 @@
+"""VAD validation on formant-synthesized speech (VERDICT round-1 weak #3).
+
+No real speech ships in this zero-egress environment, so the energy+flatness
+VAD (replacing the reference's trained TEN-VAD,
+``/root/reference/tiny_audio/diarization.py:361-407``) is validated against
+source-filter synthetic speech (:mod:`tiny_audio_tpu.utils.speech_synth`):
+glottal pulse train -> formant resonators + fricative noise, with an exact
+sample-level ground-truth mask — across SNR, noise color, reverb, and level
+conditions.  Frame-level F1 thresholds are set ~0.05 under measured values
+(seed-stable; see docs/evaluation-and-deployment.md for the measured table).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tiny_audio_tpu.diarization import VAD_HOP, frame_vad
+from tiny_audio_tpu.train.augmentation import _fft_convolve, _rms, synthetic_rir
+from tiny_audio_tpu.utils.speech_synth import (
+    mask_to_frames,
+    synth_conversation,
+    synth_utterance,
+)
+
+
+def _f1(audio: np.ndarray, mask: np.ndarray) -> tuple[float, float, float]:
+    truth = mask_to_frames(mask, VAD_HOP)
+    dec = frame_vad(audio)
+    n = min(len(truth), len(dec))
+    truth, dec = truth[:n], dec[:n]
+    tp = float((dec & truth).sum())
+    p = tp / max(float(dec.sum()), 1.0)
+    r = tp / max(float(truth.sum()), 1.0)
+    return p, r, 2 * p * r / max(p + r, 1e-9)
+
+
+@pytest.fixture(scope="module")
+def utterance():
+    return synth_utterance(10.0, seed=2)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(0)
+
+
+class TestCleanAndLevels:
+    def test_clean(self, utterance):
+        audio, mask = utterance
+        assert _f1(audio, mask)[2] >= 0.95
+
+    def test_quiet_minus35_dbfs_peak(self):
+        # the round-1 [-45, -25] dBFS threshold clamp scored F1 0.20 here
+        audio, mask = synth_utterance(10.0, seed=6, level=0.018)
+        assert _f1(audio, mask)[2] >= 0.95
+
+    def test_quiet_minus45_dbfs_peak(self):
+        audio, mask = synth_utterance(10.0, seed=7, level=0.006)
+        assert _f1(audio, mask)[2] >= 0.90
+
+    def test_speech_dominated_clip(self):
+        # floor percentile lands inside speech; threshold must not reject it
+        audio, mask = synth_utterance(10.0, seed=5, speech_fraction=0.92)
+        assert _f1(audio, mask)[2] >= 0.85
+
+
+class TestNoise:
+    @pytest.mark.parametrize("snr_db,min_f1", [(10, 0.88), (5, 0.80), (0, 0.70)])
+    def test_white_noise(self, utterance, snr_db, min_f1):
+        audio, mask = utterance
+        noise = np.random.default_rng(0).standard_normal(len(audio)).astype(np.float32)
+        noise *= _rms(audio[mask]) / (10 ** (snr_db / 20)) / _rms(noise)
+        p, r, f1 = _f1(audio + noise, mask)
+        assert f1 >= min_f1, (p, r, f1)
+
+    def test_pink_noise_10db(self, utterance):
+        audio, mask = utterance
+        w = np.random.default_rng(1).standard_normal(len(audio))
+        spec = np.fft.rfft(w)
+        freqs = np.fft.rfftfreq(len(w), 1 / 16000)
+        spec[1:] /= np.sqrt(freqs[1:])
+        spec[0] = 0
+        pink = np.fft.irfft(spec, len(w)).astype(np.float32)
+        pink *= _rms(audio[mask]) / (10 ** (10 / 20)) / _rms(pink)
+        assert _f1(audio + pink, mask)[2] >= 0.90
+
+    def test_noise_only_low_false_positives(self):
+        noise = (np.random.default_rng(2).standard_normal(160000) * 0.01).astype(
+            np.float32
+        )
+        assert frame_vad(noise).mean() <= 0.15
+
+
+class TestReverb:
+    def test_far_field_reverb(self, utterance):
+        audio, mask = utterance
+        rir = synthetic_rir(np.random.default_rng(3), duration_s=0.8, rt60_s=0.6)
+        rev = _fft_convolve(audio, rir)[: len(audio)]
+        rev = rev / (np.abs(rev).max() + 1e-9) * 0.25
+        p, r, f1 = _f1(rev, mask)
+        # reverb tails extend past the dry mask -> precision dips by design;
+        # recall is what diarization windows need
+        assert r >= 0.95 and f1 >= 0.82, (p, r, f1)
+
+    def test_reverb_plus_noise(self, utterance):
+        audio, mask = utterance
+        rir = synthetic_rir(np.random.default_rng(3), duration_s=0.8, rt60_s=0.6)
+        rev = _fft_convolve(audio, rir)[: len(audio)]
+        rev = (rev / (np.abs(rev).max() + 1e-9) * 0.25).astype(np.float32)
+        noise = np.random.default_rng(4).standard_normal(len(rev)).astype(np.float32)
+        noise *= _rms(rev[mask]) / (10 ** (10 / 20)) / _rms(noise)
+        assert _f1(rev + noise, mask)[2] >= 0.85
+
+
+class TestSilence:
+    def test_digital_silence(self):
+        assert frame_vad(np.zeros(160000, np.float32)).sum() == 0
+
+    def test_dither_floor(self):
+        dither = (np.random.default_rng(1).standard_normal(160000) * 1e-4).astype(
+            np.float32
+        )
+        assert frame_vad(dither).sum() == 0
+
+
+class TestConversationPipeline:
+    """End-to-end diarizer on synthetic two-speaker audio: VAD-driven
+    segment coverage is checkable even though random-init ECAPA embeddings
+    make the speaker LABELS arbitrary (results carry ``fallback: True``)."""
+
+    def test_segment_coverage_and_fallback_tag(self):
+        from tiny_audio_tpu.diarization import LocalSpeakerDiarizer
+
+        audio, turns, mask = synth_conversation(12.0, n_speakers=2, seed=0)
+        segments = LocalSpeakerDiarizer(num_speakers=2).diarize(audio)
+        assert segments, "no segments on clearly voiced audio"
+        assert all(s.get("fallback") for s in segments)  # untrained embedder
+
+        grid = 0.01
+        n = int(len(audio) / 16000 / grid)
+        hyp = np.zeros(n, bool)
+        for s in segments:
+            hyp[int(s["start"] / grid): int(s["end"] / grid)] = True
+        truth = np.zeros(n, bool)
+        idx = (np.arange(n) * grid * 16000).astype(int)
+        truth = mask[np.minimum(idx, len(mask) - 1)]
+        covered = float((hyp & truth).sum()) / max(float(truth.sum()), 1.0)
+        assert covered >= 0.90, covered

@@ -51,13 +51,18 @@ def frame_vad(
     """Per-frame speech decisions (bool, one per ``hop`` samples).
 
     Adaptive threshold: the noise floor is the ``energy_percentile``-th
-    percentile of frame energies, but the speech threshold is clamped to
-    [-45, -25] dBFS so speech-dominated clips (floor lands inside speech)
-    and near-digital-silence clips both behave.  A frame is speech when it
-    clears the threshold AND its spectral flatness is below 0.5
-    (tonal/voiced rather than broadband noise), OR its energy is very high
-    regardless.  Self-contained replacement for the TEN-VAD C library used
-    at reference diarization.py:361-407.
+    percentile of frame energies and the margin above it shrinks with the
+    clip's dynamic range (``min(margin_db, 0.3 * (p95 - p10))``) — at 0 dB
+    SNR speech only adds ~3 dB of energy, so a fixed 6 dB margin would
+    reject everything.  An absolute -70 dBFS floor rejects digital
+    silence/dither regardless.  A frame is speech when it clears the
+    threshold AND its spectral flatness is below 0.5 (tonal/voiced rather
+    than broadband noise), OR its energy is very high regardless.
+    Self-contained replacement for the TEN-VAD C library used at reference
+    diarization.py:361-407; validated against formant-synthesized speech
+    across SNR/reverb/level conditions in ``tests/test_vad_validation.py``
+    (the earlier [-45, -25] dBFS clamp scored F1 0.20 on -35 dBFS-peak
+    quiet speech; this scores >= 0.93 on every condition but white 0 dB SNR).
     """
     audio = np.asarray(audio, np.float32).reshape(-1)
     n_frames = max(len(audio) // hop, 0)
@@ -78,8 +83,10 @@ def frame_vad(
         power = spec**2
         flatness = np.exp(np.mean(np.log(power), axis=1)) / np.mean(power, axis=1)
 
-    floor_db = np.percentile(energy_db, energy_percentile)
-    threshold_db = float(np.clip(floor_db + margin_db, -45.0, -25.0))
+    floor_db = float(np.percentile(energy_db, energy_percentile))
+    ceil_db = float(np.percentile(energy_db, 95.0))
+    eff_margin = min(margin_db, 0.3 * max(ceil_db - floor_db, 0.0))
+    threshold_db = max(floor_db + eff_margin, -70.0)
     loud = energy_db > threshold_db
     very_loud = energy_db > threshold_db + 2.0 * margin_db
     return (loud & (flatness < 0.5)) | very_loud

