@@ -53,8 +53,11 @@ def main() -> None:
     model = ASRModel(cfg, seed=0)  # syncs kv_cache_dtype into the decoder
 
     # Serving-throughput batch: decode is weight-read-bound, so batching
-    # amortizes the 1.2 GB/step HBM traffic (override with TA_BENCH_BATCH)
-    batch = int(os.environ.get("TA_BENCH_BATCH", "32"))
+    # amortizes the ~1.5 GB/step HBM weight traffic (override with
+    # TA_BENCH_BATCH).  Measured sweep on this chip (int8 KV): b32 644 /
+    # b48 718 / b64 720 RTFx — 48 is the knee (past it the growing cache
+    # reads eat what the weight amortization saves).
+    batch = int(os.environ.get("TA_BENCH_BATCH", "48"))
     clip_seconds = 30.0
     n_samples = int(clip_seconds * 16000)
     rng = np.random.default_rng(0)

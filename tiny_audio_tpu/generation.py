@@ -187,7 +187,7 @@ def generate_tokens(
     prompt_pad = jnp.ones((b, t), jnp.int32)
     logits, cache = decoder.apply(
         variables, inputs_embeds, positions, padding_mask=prompt_pad,
-        cache=cache, cache_index=0,
+        cache=cache, cache_index=0, last_logit_only=True,
     )
     last_logits = logits[:, -1].astype(jnp.float32)
 
@@ -316,7 +316,7 @@ def _stream_prefill(decoder, variables, inputs_embeds, input_ids, cache, rng, ge
     logits, new_cache = decoder.apply(
         variables, inputs_embeds, positions,
         padding_mask=jnp.ones((b, t), jnp.int32),
-        cache=cache, cache_index=0,
+        cache=cache, cache_index=0, last_logit_only=True,
     )
     last_logits = logits[:, -1].astype(jnp.float32)
 
@@ -468,6 +468,7 @@ def generate_beams(
     logits, cache = decoder.apply(
         variables, inputs_embeds, positions,
         padding_mask=jnp.ones((b, t), jnp.int32), cache=cache, cache_index=0,
+        last_logit_only=True,
     )
     first_logits = logits[:, -1].astype(jnp.float32)
     vocab = first_logits.shape[-1]

@@ -205,7 +205,16 @@ class Qwen3Decoder(nn.Module):
         cache: Optional[dict] = None,
         cache_index: int | jax.Array = 0,
         return_hidden: bool = False,
+        last_logit_only: bool = False,
     ):
+        """``last_logit_only`` computes the LM head on the final position
+        only (the prefill callers in ``generation.py`` discard every other
+        row).  Measured at the serving shape (B32 x 470 prompt tokens x
+        151k vocab): XLA's slice-of-dot simplification already elides the
+        full-prompt head through the downstream ``logits[:, -1]`` (201 ms
+        either way), so this is a compile-time guarantee of that elision —
+        the ~4.6 TFLOP matmul + ~4.5 GB logits write must never come back —
+        not a measured speedup."""
         cfg = self.cfg
         cos, sin = rotary_embed(positions, cfg.head_dim, cfg.rope_theta)
         x = inputs_embeds.astype(self.dtype)
@@ -222,6 +231,8 @@ class Qwen3Decoder(nn.Module):
             x, layer_cache, cos, sin, padding_mask, step_kv_valid, cache_index
         )
         x = self.norm(x)
+        if last_logit_only:
+            x = x[:, -1:]
         if return_hidden:
             logits = None
         elif cfg.tie_word_embeddings:
