@@ -43,6 +43,26 @@ class LayerNorm(nn.Module):
         return (x * w + b).astype(dtype)
 
 
+def _gelu(x: jax.Array, cfg: EncoderConfig, dtype) -> jax.Array:
+    """GELU with a dtype-aware approximation policy.
+
+    ``cfg.activation``: "gelu" (auto) uses the exact erf form in fp32 — the
+    torch-oracle parity mode (reference towers use torch's exact GELU) — and
+    the tanh form in bf16, where the two are numerically indistinguishable
+    (max |Δ| ≈ 5e-4 on N(0,1) inputs, below bf16 rounding of O(1)
+    activations) but erf costs 12.9 vs 5.7 ms/layer of VPU time at the
+    B32 serving shape (measured; docs/performance.md).  "gelu_exact" /
+    "gelu_tanh" force one form.
+    """
+    if cfg.activation == "gelu_exact":
+        approx = False
+    elif cfg.activation == "gelu_tanh":
+        approx = True
+    else:
+        approx = dtype == jnp.bfloat16
+    return nn.gelu(x, approximate=approx)
+
+
 class EncoderBlock(nn.Module):
     cfg: EncoderConfig
     dtype: Any = jnp.bfloat16
@@ -74,7 +94,7 @@ class EncoderBlock(nn.Module):
         residual = x
         x = LayerNorm(cfg.layer_norm_eps, name="final_layer_norm")(x)
         x = dense(cfg.ffn_dim, "fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = _gelu(x, cfg, self.dtype)
         x = dense(cfg.d_model, "fc2")(x)
         return residual + x, None
 
@@ -112,7 +132,7 @@ class AudioEncoder(nn.Module):
                 param_dtype=self.param_dtype,
                 name=f"conv{i + 1}",
             )(x)
-            x = nn.gelu(x, approximate=False)
+            x = _gelu(x, cfg, self.dtype)
 
         t_enc = x.shape[1]
         pos_table = self.param(
