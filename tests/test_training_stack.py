@@ -74,15 +74,31 @@ class TestConfigLoader:
         set_dotted(cfg, "a.b.c", 7)
         assert cfg == {"a": {"b": {"c": 7}}}
 
+    def test_group_swap_override(self, tmp_path):
+        """Hydra-style `group=name` replaces the whole group from its file
+        (reference `data=loquacious` semantics); non-group scalars still go
+        through set_dotted."""
+        self._write_tree(tmp_path)
+        (tmp_path / "data" / "alt.yaml").write_text(
+            "datasets:\n  - path: other\n"
+        )
+        cfg = load_config(tmp_path, ["data=alt"])
+        assert cfg["data"]["datasets"][0]["path"] == "other"
+        cfg = load_config(tmp_path, ["data=notafile"])
+        assert cfg["data"] == "notafile"  # plain scalar set, no group file
+
     def test_repo_configs_compose(self):
         """The shipped configs/ tree composes without errors for every
-        experiment preset."""
+        experiment preset and every data group."""
         from pathlib import Path
 
         config_dir = Path(__file__).parent.parent / "configs"
         for exp in (config_dir / "experiments").glob("*.yaml"):
             cfg = load_config(config_dir, [f"+experiments={exp.stem}"])
             assert "model" in cfg and "training" in cfg, exp.stem
+        for data in (config_dir / "data").glob("*.yaml"):
+            cfg = load_config(config_dir, [f"data={data.stem}"])
+            assert cfg["data"].get("datasets"), data.stem
 
 
 # --------------------------------------------------------------- augmentation

@@ -82,6 +82,14 @@ def load_config(
             cfg = deep_merge(cfg, _load_yaml(exp_file))
         elif key.startswith("+"):
             set_dotted(cfg, key[1:], value)
+        elif (
+            "." not in key
+            and isinstance(value, str)
+            and (config_dir / key / f"{value}.yaml").is_file()
+        ):
+            # Hydra-style config-group swap (`data=loquacious`,
+            # `training=production`): replace the whole group with that file
+            cfg[key] = _load_yaml(config_dir / key / f"{value}.yaml")
         else:
             set_dotted(cfg, key, value)
     return cfg
