@@ -145,11 +145,22 @@ def _select_token(logits: jax.Array, gen: GenerationConfig, rng: Optional[jax.Ar
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("decoder", "gen"),
-    donate_argnames=(),
-)
+def _fused_decode_available(decoder: Qwen3Decoder) -> bool:
+    """The in-kernel cache-ownership decode path (TA_PALLAS_DECODE=2):
+    requires TPU, the kernel's head_dim-128 layout, and merged (no live
+    LoRA) decoder weights."""
+    import os
+
+    if os.environ.get("TA_PALLAS_DECODE") != "2":
+        return False
+    cfg = decoder.cfg
+    return (
+        jax.devices()[0].platform == "tpu"
+        and cfg.head_dim == 128
+        and cfg.lora_rank == 0
+    )
+
+
 def generate_tokens(
     decoder: Qwen3Decoder,
     variables: Any,
@@ -157,6 +168,7 @@ def generate_tokens(
     input_ids: jax.Array,
     gen: GenerationConfig,
     rng: Optional[jax.Array] = None,
+    fused_decode: Optional[bool] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Prefill + fused decode loop.
 
@@ -169,11 +181,36 @@ def generate_tokens(
             asr_modeling.py:632-640).
         gen: static GenerationConfig.
         rng: PRNG key (sampling only).
+        fused_decode: force the in-kernel cache-ownership decode path on/off;
+            None resolves from TA_PALLAS_DECODE here, OUTSIDE the jit, so the
+            env is re-read every call instead of being baked into a None-keyed
+            trace (the round-1 env-sniffing-inside-jit trap).
 
     Returns:
         (tokens [B, max_new_tokens] int32 — pad_token_id after EOS,
          lengths [B] int32 — generated length including the EOS token).
     """
+    if fused_decode is None:
+        fused_decode = _fused_decode_available(decoder)
+    return _generate_tokens(
+        decoder, variables, inputs_embeds, input_ids, gen, rng, fused_decode
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("decoder", "gen", "fused_decode"),
+    donate_argnames=(),
+)
+def _generate_tokens(
+    decoder: Qwen3Decoder,
+    variables: Any,
+    inputs_embeds: jax.Array,
+    input_ids: jax.Array,
+    gen: GenerationConfig,
+    rng: Optional[jax.Array],
+    fused_decode: bool,
+) -> tuple[jax.Array, jax.Array]:
     cfg = decoder.cfg
     b, t, _ = inputs_embeds.shape
     s = -(-(t + gen.max_new_tokens) // 16) * 16  # 16-row align: Pallas DMA slabs
@@ -243,6 +280,11 @@ def generate_tokens(
     if use_ngram:
         all_tokens = all_tokens.at[:, t].set(tok0)
 
+    if fused_decode:
+        from tiny_audio_tpu.ops.fused_decode import flatten_cache
+
+        cache = flatten_cache(cache)
+
     state = {
         "cache": cache,
         "tokens": tokens0,
@@ -261,17 +303,27 @@ def generate_tokens(
     def body(st):
         step = st["step"]
         pos = t + step - 1  # position of the token being fed
-        embeds = decoder.apply(
-            variables, st["cur"][:, None], method=Qwen3Decoder.embed
-        )
-        kv_valid = (jnp.arange(s) < pos)[None, :].astype(jnp.int32)  # fresh pos appended in-kernel
-        logits, new_cache = decoder.apply(
-            variables, embeds, jnp.full((b, 1), pos, jnp.int32),
-            step_kv_valid=kv_valid, cache=st["cache"], cache_index=pos,
-        )
+        if fused_decode:
+            # in-kernel cache ownership: the step appends (layer-by-layer,
+            # aliased in place) AND attends — ops/fused_decode.py
+            from tiny_audio_tpu.ops.fused_decode import fused_decode_step
+
+            logits_f32, new_cache = fused_decode_step(
+                variables["params"], cfg, st["cur"], pos, st["cache"]
+            )
+        else:
+            embeds = decoder.apply(
+                variables, st["cur"][:, None], method=Qwen3Decoder.embed
+            )
+            kv_valid = (jnp.arange(s) < pos)[None, :].astype(jnp.int32)  # fresh pos appended in-kernel
+            logits, new_cache = decoder.apply(
+                variables, embeds, jnp.full((b, 1), pos, jnp.int32),
+                step_kv_valid=kv_valid, cache=st["cache"], cache_index=pos,
+            )
+            logits_f32 = logits[:, 0].astype(jnp.float32)
         rng, key = jax.random.split(st["rng"])
         tok = pick(
-            logits[:, 0].astype(jnp.float32), step, st["seen"],
+            logits_f32, step, st["seen"],
             st["all_tokens"], key,
         )
         # frozen rows keep emitting pad
