@@ -126,9 +126,18 @@ class TestBackendWiring:
             ev.diarize_fn(np.zeros(1600, np.float32), sample_rate=16000)
 
     def test_unknown_backend_raises(self):
-        ev = make_diarization_evaluator("bogus")
-        with pytest.raises(ValueError):
-            ev.diarize_fn(np.zeros(1600, np.float32))
+        # must fail at CONSTRUCTION: a deferred per-sample error would be
+        # swallowed by the eval loop and score every sample as empty
+        with pytest.raises(ValueError, match="unsupported diarization"):
+            make_diarization_evaluator("bogus")
+
+    def test_unknown_alignment_backend_raises(self):
+        from tiny_audio_tpu.eval.evaluators.alignment import (
+            make_alignment_evaluator,
+        )
+
+        with pytest.raises(ValueError, match="unsupported alignment"):
+            make_alignment_evaluator("endpoint")
 
     def test_mocked_transport_end_to_end(self, monkeypatch):
         """Full evaluate() loop against a mocked vendor transport."""
@@ -181,3 +190,61 @@ class TestBackendWiring:
         assert metrics["errors"] == 0
         assert metrics["match_rate"] == 1.0
         assert metrics["median_abs_error_s"] <= 0.02
+
+
+class TestAssemblyAITransport:
+    """HTTP-level contract of assemblyai_transcribe against a fake requests
+    layer: submit failures must raise an HTTP error (not KeyError), and a
+    job stuck in processing must hit the poll deadline."""
+
+    class _Resp:
+        def __init__(self, payload, status=200):
+            self._payload = payload
+            self.status_code = status
+
+        def json(self):
+            return self._payload
+
+        def raise_for_status(self):
+            if self.status_code >= 400:
+                raise RuntimeError(f"http {self.status_code}")
+
+    def _patch_requests(self, monkeypatch, post_responses, get_payload):
+        import sys
+        import types
+
+        calls = iter(post_responses)
+        fake = types.SimpleNamespace(
+            post=lambda *a, **k: next(calls),
+            get=lambda *a, **k: self._Resp(get_payload),
+        )
+        monkeypatch.setitem(sys.modules, "requests", fake)
+
+    def test_submit_error_raises_http_not_keyerror(self, monkeypatch):
+        from tiny_audio_tpu.eval.evaluators.api import assemblyai_transcribe
+
+        self._patch_requests(
+            monkeypatch,
+            post_responses=[
+                self._Resp({"upload_url": "u"}),
+                self._Resp({"error": "bad params"}, status=400),
+            ],
+            get_payload={},
+        )
+        with pytest.raises(RuntimeError, match="http 400"):
+            assemblyai_transcribe(b"RIFF", "key")
+
+    def test_stuck_job_hits_poll_deadline(self, monkeypatch):
+        from tiny_audio_tpu.eval.evaluators.api import assemblyai_transcribe
+
+        self._patch_requests(
+            monkeypatch,
+            post_responses=[
+                self._Resp({"upload_url": "u"}),
+                self._Resp({"id": "j1", "status": "queued"}),
+            ],
+            get_payload={"id": "j1", "status": "processing"},
+        )
+        with pytest.raises(TimeoutError, match="j1"):
+            assemblyai_transcribe(b"RIFF", "key", poll_s=0.01,
+                                  poll_timeout_s=0.05)

@@ -73,6 +73,9 @@ class TestSpellingMap:
         assert len(m) > 1000
         assert m["colourful"] == "colorful"
         assert m["organisations"] == "organizations"
+        # regression: was a ('glamorous','glamorous') identity typo that the
+        # k != v filter silently dropped
+        assert m["glamourous"] == "glamorous"
         assert m["kilometres"] == "kilometers"
         assert m["anaesthetic"] == "anesthetic"
         assert m["travelling"] == "traveling"

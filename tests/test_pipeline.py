@@ -173,6 +173,37 @@ class TestLongFormChunking:
         pipe(np.zeros(20 * 16000, np.float32), chunk_length_s=1.0)
         assert calls == [8, 8, 4]
 
+    def test_longform_groups_pad_to_power_of_two(self, monkeypatch):
+        """A 13-chunk input makes groups (8, 5); the 5 pads to batch 8 so
+        only power-of-2 generate shapes ever compile (warmup covers them)."""
+        import numpy as np
+
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        pipe = ASRPipeline(model)
+        calls = []
+
+        def fake_generate(feats, mask, **kw):
+            shape = np.asarray(feats).shape
+            calls.append(shape[0])
+            # distinct tokens per row so padded-row output leakage would show
+            return np.tile(np.arange(shape[0], dtype=np.int32)[:, None] + 2,
+                           (1, 4))
+
+        monkeypatch.setattr(pipe.model, "generate", fake_generate)
+        monkeypatch.setattr(
+            pipe, "postprocess_tokens", lambda toks: f"c{int(toks[0])}"
+        )
+        result = pipe(np.zeros(13 * 16000, np.float32), chunk_length_s=1.0)
+        assert calls == [8, 8]
+        # 13 real chunk texts; the 3 padded rows of the second group dropped
+        assert result["text"].split() == (
+            [f"c{i + 2}" for i in range(8)] + [f"c{i + 2}" for i in range(5)]
+        )
+
     def test_short_audio_single_chunk(self, monkeypatch):
         import numpy as np
 

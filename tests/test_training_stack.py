@@ -145,6 +145,39 @@ class TestAugmentation:
             assert np.isfinite(y).all()
             assert np.abs(y).max() <= 1.0 + 1e-6
 
+    def test_augmentation_reproducible_across_worker_counts(self):
+        """Fixed-seed runs must apply identical draws per sample whether the
+        transform runs inline or on a thread pool (the per-sample RNG key is
+        pinned by batch_iterator, not by which thread picks the sample up)."""
+        from tiny_audio_tpu.train.trainer import batch_iterator
+
+        def make_transform():
+            aug = RIRAugmentation(p=1.0, seed=7)
+
+            def transform(row):
+                return {"audio": aug(row["audio"])}
+
+            return transform
+
+        rows = [{"audio": self._speech(seed=i)} for i in range(8)]
+
+        def run(workers):
+            batches = list(batch_iterator(
+                rows, lambda rs: [r["audio"] for r in rs], batch_size=4,
+                seed=3, epochs=1, transform=make_transform(),
+                transform_workers=workers,
+            ))
+            return [a for b in batches for a in b]
+
+        base = run(0)
+        threaded = run(3)
+        rerun = run(3)
+        assert len(base) == 8
+        for a, b in zip(base, threaded):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(threaded, rerun):
+            np.testing.assert_array_equal(a, b)
+
     def test_noise_empty_audio(self):
         aug = NoiseAugmentation(seed=0)
         assert aug(np.zeros(0, np.float32)).size == 0

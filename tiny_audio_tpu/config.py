@@ -81,25 +81,36 @@ class EncoderConfig:
         Use this when converting a real checkpoint so the dims are
         provenance-checked instead of assumed.
         """
-        enc = hf.get("audio_config") or hf.get("encoder_config") or hf
-        kw = {}
-        for ours, theirs in [
-            ("num_mel_bins", ("num_mel_bins",)),
-            ("d_model", ("d_model", "hidden_size")),
-            ("num_layers", ("encoder_layers", "num_hidden_layers")),
-            ("num_heads", ("encoder_attention_heads", "num_attention_heads")),
-            ("ffn_dim", ("encoder_ffn_dim", "intermediate_size")),
-            ("max_source_positions", ("max_source_positions",)),
-        ]:
-            for name in theirs:
-                if name in enc:
-                    kw[ours] = int(enc[name])
-                    break
-        if "conv_layers" in enc or "encoder_conv_layers" in enc:
-            kw["conv_layers"] = tuple(
-                tuple(t) for t in (enc.get("conv_layers") or enc["encoder_conv_layers"])
-            )
-        return EncoderConfig(**kw)
+        return EncoderConfig(**encoder_kwargs_from_hf(hf))
+
+
+def encoder_kwargs_from_hf(hf: dict) -> dict:
+    """The EncoderConfig fields a HF ``config.json`` dict actually carries.
+
+    Returns ONLY keys present in the checkpoint config — callers that need
+    to reconcile against a user-supplied EncoderConfig must overlay these
+    rather than build a fresh config (absent keys would otherwise be
+    silently filled with dataclass defaults, clobbering the user's values).
+    """
+    enc = hf.get("audio_config") or hf.get("encoder_config") or hf
+    kw: dict = {}
+    for ours, theirs in [
+        ("num_mel_bins", ("num_mel_bins",)),
+        ("d_model", ("d_model", "hidden_size")),
+        ("num_layers", ("encoder_layers", "num_hidden_layers")),
+        ("num_heads", ("encoder_attention_heads", "num_attention_heads")),
+        ("ffn_dim", ("encoder_ffn_dim", "intermediate_size")),
+        ("max_source_positions", ("max_source_positions",)),
+    ]:
+        for name in theirs:
+            if name in enc:
+                kw[ours] = int(enc[name])
+                break
+    if "conv_layers" in enc or "encoder_conv_layers" in enc:
+        kw["conv_layers"] = tuple(
+            tuple(t) for t in (enc.get("conv_layers") or enc["encoder_conv_layers"])
+        )
+    return kw
 
 
 @dataclass(frozen=True)

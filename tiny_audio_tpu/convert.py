@@ -15,11 +15,14 @@ ours by design: linear_1/norm/linear_2/norm_2 etc,
 
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def load_state_dict(path: str | Path) -> dict:
@@ -212,15 +215,29 @@ def convert_checkpoint(
     if encoder_path:
         # Provenance-check encoder dims against the checkpoint's own
         # config.json when present (covers whisper + GLM composite configs).
+        # Only keys the checkpoint ACTUALLY carries are overlaid — building
+        # a whole EncoderConfig from a sparse config.json would fill the
+        # missing fields with dataclass defaults and silently clobber a
+        # user-supplied config (e.g. custom conv_layers, which HF Whisper
+        # configs don't record).
+        import dataclasses as _dc
         import json as _json
 
         cfg_json = Path(encoder_path) / "config.json"
         if cfg_json.is_file():
-            from tiny_audio_tpu.config import EncoderConfig
+            from tiny_audio_tpu.config import encoder_kwargs_from_hf
 
-            derived = EncoderConfig.from_hf_config(_json.loads(cfg_json.read_text()))
-            if derived != config.encoder:
-                config.encoder = derived
+            found = encoder_kwargs_from_hf(_json.loads(cfg_json.read_text()))
+            changed = {
+                k: v for k, v in found.items()
+                if getattr(config.encoder, k) != v
+            }
+            if changed:
+                logger.warning(
+                    "encoder config overridden by %s/config.json: %s",
+                    encoder_path, changed,
+                )
+                config.encoder = _dc.replace(config.encoder, **changed)
 
     dtype = jnp.bfloat16 if config.model_dtype == "bfloat16" else jnp.float32
     model = ASRModel(config, seed=seed)

@@ -179,11 +179,22 @@ def _api_align_fn(backend: str, **client_kwargs):
     return fn
 
 
+ALIGNMENT_API_BACKENDS = ("assemblyai", "deepgram", "elevenlabs")
+
+
 def make_alignment_evaluator(backend: str = "local", align_fn=None,
                              model_name: str | None = None) -> AlignmentEvaluator:
-    """Backend dispatch: 'local' (caller supplies align_fn) or an API vendor."""
+    """Backend dispatch: 'local' (caller supplies align_fn) or an API vendor.
+
+    Unknown backends fail HERE, not per-sample (see
+    make_diarization_evaluator)."""
     if backend == "local":
         return AlignmentEvaluator(align_fn, model_name=model_name or "local-aligner")
+    if backend not in ALIGNMENT_API_BACKENDS:
+        raise ValueError(
+            f"unsupported alignment backend {backend!r}; "
+            f"use 'local' or one of {ALIGNMENT_API_BACKENDS}"
+        )
     return AlignmentEvaluator(
         _api_align_fn(backend), model_name=model_name or f"{backend}-alignment"
     )

@@ -32,10 +32,16 @@ def assemblyai_transcribe(
     api_key: str,
     base_url: str = "https://api.assemblyai.com",
     poll_s: float = 1.0,
+    poll_timeout_s: float = 600.0,
     **params,
 ) -> dict:
     """Upload + submit + poll the AssemblyAI batch API; returns the completed
-    transcript JSON (``utterances``/``words`` present per request params)."""
+    transcript JSON (``utterances``/``words`` present per request params).
+
+    The submit POST is status-checked (a 4xx body has no ``id`` — without
+    the check it surfaced as a bare KeyError), and the poll loop is bounded
+    by ``poll_timeout_s`` so a job stuck in ``processing`` can't hang an
+    eval run forever."""
     import requests
 
     base_url = base_url.rstrip("/")
@@ -45,13 +51,21 @@ def assemblyai_transcribe(
     up.raise_for_status()
     body = {"audio_url": up.json()["upload_url"], "speech_model": "universal"}
     body.update(params)
-    job = requests.post(f"{base_url}/v2/transcript", json=body,
-                        headers=headers, timeout=30).json()
+    submit = requests.post(f"{base_url}/v2/transcript", json=body,
+                           headers=headers, timeout=30)
+    submit.raise_for_status()
+    job = submit.json()
+    deadline = time.monotonic() + poll_timeout_s
     while True:
         st = requests.get(f"{base_url}/v2/transcript/{job['id']}",
                           headers=headers, timeout=30).json()
         if st["status"] in ("completed", "error"):
             break
+        if time.monotonic() >= deadline:
+            raise TimeoutError(
+                f"assemblyai job {job['id']} still {st['status']!r} after "
+                f"{poll_timeout_s:.0f}s"
+            )
         time.sleep(poll_s)
     if st["status"] == "error":
         raise RuntimeError(st.get("error", "assemblyai error"))

@@ -169,11 +169,24 @@ def _api_diarize_fn(backend: str, **client_kwargs):
     return fn
 
 
+DIARIZATION_API_BACKENDS = ("assemblyai", "deepgram", "elevenlabs")
+
+
 def make_diarization_evaluator(backend: str = "local",
                                **kwargs) -> DiarizationEvaluator:
-    """Backend dispatch: 'local' or an API vendor name (key-gated)."""
+    """Backend dispatch: 'local' or an API vendor name (key-gated).
+
+    Unknown backends fail HERE, not per-sample: a deferred ValueError inside
+    diarize_fn would be swallowed by the evaluator's per-sample error
+    handling and score every sample against an empty hypothesis — a run
+    that "succeeds" with ~100% DER."""
     if backend == "local":
         return DiarizationEvaluator(**kwargs)
+    if backend not in DIARIZATION_API_BACKENDS:
+        raise ValueError(
+            f"unsupported diarization backend {backend!r}; "
+            f"use 'local' or one of {DIARIZATION_API_BACKENDS}"
+        )
     return DiarizationEvaluator(
         diarize_fn=_api_diarize_fn(backend),
         model_name=f"{backend}-diarization", **kwargs,

@@ -154,7 +154,7 @@ def _build_default_map() -> dict[str, str]:
         ("humourless", "humorless"), ("labourer", "laborer"),
         ("labourers", "laborers"), ("neighbourhood", "neighborhood"),
         ("neighbourhoods", "neighborhoods"), ("neighbouring", "neighboring"),
-        ("behavioural", "behavioral"), ("glamorous", "glamorous"),
+        ("behavioural", "behavioral"), ("glamourous", "glamorous"),
     ]:
         m[extra_br] = extra_us
     for word in _RE_WORDS:

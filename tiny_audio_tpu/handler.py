@@ -33,9 +33,9 @@ class EndpointHandler:
         Without ``seconds``, compiles EVERY mel bucket (each bucket is a
         distinct jit shape — on this chip a cold bucket costs tens of
         seconds of compile, and the persistent cache only helps across
-        restarts) plus, when ``longform``, the LONGFORM_BATCH-sized chunked
-        graph that >30 s inputs dispatch to.  With ``seconds``, compiles
-        just that one bucket (the round-1 behavior).
+        restarts) plus, when ``longform``, every chunked-batch bucket
+        (2/4/8 full chunks) that >30 s inputs dispatch to.  With
+        ``seconds``, compiles just that one bucket (the round-1 behavior).
         """
         from tiny_audio_tpu.ops import mel
 
@@ -47,10 +47,12 @@ class EndpointHandler:
             n = frames * mel.HOP_LENGTH
             self.pipe(np.zeros(n, np.float32))
         if longform:
-            from tiny_audio_tpu.pipeline import ASRPipeline
-
-            # two 30 s chunks -> exercises the chunked longform batch shape
-            self.pipe(np.zeros(2 * 3000 * mel.HOP_LENGTH, np.float32))
+            # The pipeline pads chunk groups to power-of-2 batch buckets,
+            # so 2/4/8 full-chunk inputs compile EVERY longform generate
+            # shape (batch-1 is the regular bucket warmup above).
+            for nchunks in (2, 4, 8):
+                self.pipe(np.zeros(nchunks * 3000 * mel.HOP_LENGTH,
+                                   np.float32))
 
     def __call__(self, data: dict[str, Any]) -> dict:
         inputs = data.get("inputs")

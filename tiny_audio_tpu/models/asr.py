@@ -302,7 +302,9 @@ class ASRModel:
         audio_mask = input_ids == self.tokenizer.audio_token_id
         return splice_audio(text_embeds, audio_mask, audio_embeds)
 
-    @functools.partial(jax.jit, static_argnames=("self", "gen"))
+    @functools.partial(
+        jax.jit, static_argnames=("self", "gen", "fused_decode")
+    )
     def _generate_jit(
         self,
         params,
@@ -311,6 +313,7 @@ class ASRModel:
         input_ids,
         prompt_mask,
         gen: GenerationConfig,
+        fused_decode: bool = False,
     ):
         audio_embeds, _ = self._encode_audio(
             params, input_features, audio_attention_mask, train=False
@@ -327,7 +330,7 @@ class ASRModel:
             )
         return generate_tokens(
             self.decoder, {"params": params["decoder"]},
-            inputs_embeds, input_ids, gen,
+            inputs_embeds, input_ids, gen, fused_decode=fused_decode,
         )
 
     def generate(
@@ -365,9 +368,15 @@ class ASRModel:
 
             gen = _dc.replace(gen, **overrides)
 
+        # Resolve the fused-decode env OUTSIDE the jit: _generate_jit's
+        # cache is keyed on this static flag, so flipping TA_PALLAS_DECODE
+        # mid-process retraces instead of silently reusing the first trace.
+        from tiny_audio_tpu.generation import _fused_decode_available
+
         tokens, _ = self._generate_jit(
             self.params, input_features, audio_attention_mask,
             input_ids, prompt_mask, gen,
+            fused_decode=_fused_decode_available(self.decoder),
         )
         return np.asarray(tokens)
 

@@ -231,10 +231,13 @@ def normalize_encoder_state_dict(state_dict: dict) -> dict:
 
 
 def convert_hf_audio_encoder(state_dict: dict, cfg: EncoderConfig, dtype=jnp.bfloat16) -> dict:
-    """Three-branch encoder conversion (whisper / GLM audio_tower / generic)."""
-    return convert_hf_whisper_encoder(
-        normalize_encoder_state_dict(state_dict), cfg, dtype=dtype
-    )
+    """Three-branch encoder conversion (whisper / GLM audio_tower / generic).
+
+    Passes the RAW dict through: convert_hf_whisper_encoder normalizes
+    exactly once (normalizing here too would run the alias rewrite twice,
+    which only works while every alias happens to be idempotent).
+    """
+    return convert_hf_whisper_encoder(state_dict, cfg, dtype=dtype)
 
 
 def convert_hf_whisper_encoder(state_dict: dict, cfg: EncoderConfig, dtype=jnp.bfloat16) -> dict:

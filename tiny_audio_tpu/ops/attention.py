@@ -210,6 +210,12 @@ def decode_step_attention(
     (measured 3.7 -> 8.3 ms/step e2e; an aliased in-kernel updater made it
     16 ms/step).  docs/performance.md has the full measurement trail.
 
+    CAVEAT: this function runs under jit, so the env var is read at TRACE
+    time — set TA_PALLAS_DECODE=1 before the first call of a given shape;
+    flipping it mid-process does not retrace cached graphs.  (The
+    production-facing =2 fused path threads an explicit static flag from
+    outside the jit instead — generation.generate_tokens.)
+
     When ``fresh_k``/``fresh_v`` ([B, 1, Hkv, D]) are given, the cache is
     treated as STALE at the current position: attention runs over the masked
     cache plus the fresh self position appended in score space.  This lets

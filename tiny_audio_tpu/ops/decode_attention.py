@@ -311,8 +311,11 @@ def _fused_kernel(
         fk = fresh_k_ref[0, h, :].astype(jnp.float32)
         fv = fresh_v_ref[0, h, :].astype(jnp.float32)
         if quantized:
-            k_s = jnp.maximum(jnp.max(jnp.abs(fk)) / 127.0, 1e-8)
-            v_s = jnp.maximum(jnp.max(jnp.abs(fv)) / 127.0, 1e-8)
+            # quantize with the SAME scale value stored in the plane above
+            # (recomputing it here risked ulp divergence between the stored
+            # scale and the one the row was quantized with)
+            k_s = row_ks[0, h]
+            v_s = row_vs[0, h]
             row_k[0, h * d:(h + 1) * d] = jnp.clip(
                 jnp.round(fk / k_s), -127, 127
             ).astype(row_k.dtype)

@@ -164,6 +164,19 @@ class ASRPipeline:
             groups.append(tail)
         texts: list[str] = []
         for group in groups:
+            # Pad the group to a power-of-2 batch bucket so only
+            # log2(LONGFORM_BATCH)+1 generate shapes ever compile (a
+            # 5-chunk remainder would otherwise dispatch a cold batch-5
+            # graph at request time, defeating handler.warmup).  Decode is
+            # weight-read-bound, so the padded rows are nearly free; their
+            # outputs are dropped.
+            n_real = len(group)
+            bucket = 1
+            while bucket < n_real:
+                bucket *= 2
+            group = group + [
+                np.zeros_like(group[0]) for _ in range(bucket - n_real)
+            ]
             feats = self.processor.extract_features(group)
             tokens = self.model.generate(
                 feats["input_features"],
@@ -173,7 +186,7 @@ class ASRPipeline:
                 **generate_kwargs,
             )
             texts.extend(
-                self.postprocess_tokens(tokens[i]) for i in range(len(group))
+                self.postprocess_tokens(tokens[i]) for i in range(n_real)
             )
         result = {"text": " ".join(t for t in texts if t).strip()}
 

@@ -29,21 +29,57 @@ import numpy as np
 SAMPLE_RATE = 16000
 
 
+_sample_key = threading.local()
+
+
+def set_sample_key(key: Optional[tuple]) -> None:
+    """Pin the augmentation RNG stream for the CURRENT thread to ``key``
+    (e.g. ``(epoch, dataset_index)``).
+
+    ``batch_iterator`` sets this around every transform call so the random
+    draws for a given sample depend only on (seed, epoch, index) — NOT on
+    which pool thread picked the sample up or how many workers exist.  Two
+    runs with the same seed therefore augment identically regardless of
+    ``transform_workers`` and scheduler timing.  ``None`` clears the pin.
+    """
+    _sample_key.key = key
+
+
 class _ThreadRng:
-    """Thread-local numpy Generator, spawned from one SeedSequence.
+    """Thread-safe numpy Generator with per-sample-deterministic streams.
 
     ``np.random.Generator`` is not safe under concurrent calls; the
-    augmentation chain runs on ``batch_iterator``'s transform thread pool,
-    so each thread gets its own deterministic child stream.  Delegates
-    attribute access, so it drops in wherever a Generator was used.
+    augmentation chain runs on ``batch_iterator``'s transform thread pool.
+    While a sample key is pinned (:func:`set_sample_key`), the stream is
+    derived from ``SeedSequence([seed, *key])`` — reproducible per sample
+    across runs and worker counts.  Outside a pinned region (e.g. the
+    synthetic-RIR draws in ``__init__``) each thread falls back to its own
+    spawned child stream.  Delegates attribute access, so it drops in
+    wherever a Generator was used.
     """
 
-    def __init__(self, seed: int):
+    def __init__(self, seed: int, salt: int = 0):
+        self._seed = int(seed)
+        # fixed per-owner salt: two augmentations built with the same seed
+        # (e.g. RIR + noise both at seed 0) must not draw identical keyed
+        # streams.  A constant (not construction-order) salt keeps streams
+        # stable across object reconstruction within one process.
+        self._salt = int(salt)
         self._seq = np.random.SeedSequence(seed)
         self._lock = threading.Lock()
         self._tls = threading.local()
 
     def _get(self) -> np.random.Generator:
+        key = getattr(_sample_key, "key", None)
+        if key is not None:
+            if getattr(self._tls, "key", None) != key:
+                self._tls.key = key
+                self._tls.keyed_rng = np.random.default_rng(
+                    np.random.SeedSequence(
+                        [self._seed, self._salt, *map(int, key)]
+                    )
+                )
+            return self._tls.keyed_rng
         rng = getattr(self._tls, "rng", None)
         if rng is None:
             with self._lock:
@@ -143,7 +179,7 @@ class RIRAugmentation:
         n_synthetic: int = 32,
     ):
         self.p = p
-        self.rng = _ThreadRng(seed)  # thread-safe: see _ThreadRng
+        self.rng = _ThreadRng(seed, salt=1)  # thread-safe: see _ThreadRng
         self.rirs: list[np.ndarray] = []
         if rir_dir and Path(rir_dir).is_dir():
             self.rirs = _load_wav_dir(rir_dir)
@@ -183,7 +219,7 @@ class NoiseAugmentation:
         p_filter: float = 0.3,
         seed: int = 0,
     ):
-        self.rng = _ThreadRng(seed)  # thread-safe: see _ThreadRng
+        self.rng = _ThreadRng(seed, salt=2)  # thread-safe: see _ThreadRng
         self.p_background = p_background
         self.p_transient = p_transient
         self.p_eq = p_eq
@@ -321,7 +357,7 @@ class AugmentationPipeline:
         self.rir = rir
         self.noise = noise
         self.silence_injection_prob = silence_injection_prob
-        self.rng = _ThreadRng(seed)  # thread-safe: see _ThreadRng
+        self.rng = _ThreadRng(seed, salt=3)  # thread-safe: see _ThreadRng
 
     def __call__(self, sample: dict) -> dict:
         """sample: {"audio": {"array", "sampling_rate"}, "text", ...}."""

@@ -137,6 +137,8 @@ def batch_iterator(
     (``/root/reference/configs/experiments/embedded.yaml:36-39``); measure
     with ``scripts/bench_host_pipeline.py``.
     """
+    from tiny_audio_tpu.train.augmentation import set_sample_key
+
     pool = None
     if transform is not None and transform_workers > 0:
         from concurrent.futures import ThreadPoolExecutor
@@ -145,43 +147,67 @@ def batch_iterator(
     rng = np.random.default_rng(seed)
     n = len(dataset)
     epoch = 0
-    while epochs is None or epoch < epochs:
-        order = rng.permutation(n)
-        if group_by_length:
-            window = max(length_window * batch_size, batch_size)
-            reordered = []
-            for w in range(0, n, window):
-                idx = order[w : w + window]
-                lengths = np.array([_audio_len(dataset[int(j)]) for j in idx])
-                reordered.append(idx[np.argsort(lengths, kind="stable")])
-            order = np.concatenate(reordered)
-            starts = np.arange(0, n - (batch_size - 1 if drop_last else 0),
-                               batch_size)
-            rng.shuffle(starts)
-        else:
-            starts = range(0, n - (batch_size - 1 if drop_last else 0),
-                           batch_size)
-        yielded = 0
-        for i in starts:
-            rows = [dataset[int(j)] for j in order[i : i + batch_size]]
-            if transform is not None:
-                rows = (
-                    list(pool.map(transform, rows)) if pool is not None
-                    else [transform(r) for r in rows]
+
+    def run_transform(epoch, j, row):
+        # pin the augmentation RNG stream to (epoch, dataset index) so the
+        # draws a sample sees do not depend on pool scheduling or worker
+        # count — fixed-seed runs augment identically at any parallelism
+        set_sample_key((epoch, int(j)))
+        try:
+            return transform(row)
+        finally:
+            set_sample_key(None)
+
+    try:
+        while epochs is None or epoch < epochs:
+            order = rng.permutation(n)
+            if group_by_length:
+                window = max(length_window * batch_size, batch_size)
+                reordered = []
+                for w in range(0, n, window):
+                    idx = order[w : w + window]
+                    lengths = np.array(
+                        [_audio_len(dataset[int(j)]) for j in idx]
+                    )
+                    reordered.append(idx[np.argsort(lengths, kind="stable")])
+                order = np.concatenate(reordered)
+                starts = np.arange(
+                    0, n - (batch_size - 1 if drop_last else 0), batch_size
                 )
-            try:
-                yield collator(rows)
-                yielded += 1
-            except ValueError:
-                continue  # all rows in the batch were filtered out
-        if yielded == 0:
-            # would spin forever under epochs=None (e.g. dataset smaller than
-            # the global batch with drop_last, or everything filtered)
-            raise ValueError(
-                f"batch_iterator produced no batches in an epoch "
-                f"({n} rows, batch_size={batch_size}, drop_last={drop_last})"
-            )
-        epoch += 1
+                rng.shuffle(starts)
+            else:
+                starts = range(0, n - (batch_size - 1 if drop_last else 0),
+                               batch_size)
+            yielded = 0
+            for i in starts:
+                js = [int(j) for j in order[i : i + batch_size]]
+                rows = [dataset[j] for j in js]
+                if transform is not None:
+                    if pool is not None:
+                        rows = list(pool.map(
+                            run_transform, [epoch] * len(js), js, rows
+                        ))
+                    else:
+                        rows = [
+                            run_transform(epoch, j, r)
+                            for j, r in zip(js, rows)
+                        ]
+                try:
+                    yield collator(rows)
+                    yielded += 1
+                except ValueError:
+                    continue  # all rows in the batch were filtered out
+            if yielded == 0:
+                # would spin forever under epochs=None (e.g. dataset smaller
+                # than the global batch with drop_last, or all filtered)
+                raise ValueError(
+                    f"batch_iterator produced no batches in an epoch "
+                    f"({n} rows, batch_size={batch_size}, drop_last={drop_last})"
+                )
+            epoch += 1
+    finally:
+        if pool is not None:  # generator close/exhaustion must not leak threads
+            pool.shutdown(wait=False)
 
 
 class Trainer:
