@@ -169,3 +169,29 @@ def test_generate_streaming_matches_generate(model, rng):
     from tiny_audio_tpu.pipeline import truncate_repetitions
 
     assert truncate_repetitions(streamed.strip()) == pipe_text
+
+
+class TestThinkStreamFilter:
+    def _run(self, chunks):
+        from tiny_audio_tpu.models.asr import filter_think_stream
+
+        return "".join(filter_think_stream(iter(chunks)))
+
+    def test_plain_passthrough(self):
+        assert self._run(["hello ", "world"]) == "hello world"
+
+    def test_simple_think_block_stripped(self):
+        assert self._run(["a<think>hidden</think>b"]) == "ab"
+
+    def test_split_across_chunks(self):
+        assert self._run(["a<thi", "nk>hid", "den</think>", "b"]) == "ab"
+
+    def test_close_then_open_in_one_chunk_does_not_leak(self):
+        # regression: while in_think, a chunk '</think>hi <think>' used to
+        # yield the buffered think content and a literal '</think>'
+        out = self._run(["x<think>abc", "</think>hi <think>more</think>y"])
+        assert out == "xhi y"
+        assert "</think>" not in out and "abc" not in out
+
+    def test_unclosed_think_suppressed_at_end(self):
+        assert self._run(["a<think>never closed"]) == "a"

@@ -556,3 +556,31 @@ class TestTrainableOnlyAccumulator:
         )
         n_leaves = len(jax.tree_util.tree_leaves(accum["encoder"]))
         assert frozen_elems == n_leaves  # scalar placeholders only
+
+
+class TestPrefetcherShutdown:
+    def test_close_unblocks_producer_and_runs_generator_finally(self):
+        from tiny_audio_tpu.train.trainer import _Prefetcher
+
+        closed = []
+
+        def gen():
+            try:
+                for i in range(1000):
+                    yield i
+            finally:
+                closed.append(True)
+
+        pf = _Prefetcher(gen(), depth=2)
+        it = iter(pf)
+        assert next(it) == 0  # producer alive and feeding
+        pf.close()
+        assert not pf._thread.is_alive()
+        assert closed == [True]  # generator finally ran (pool shutdown path)
+
+    def test_normal_exhaustion_still_works(self):
+        from tiny_audio_tpu.train.trainer import _Prefetcher
+
+        pf = _Prefetcher(iter(range(5)), depth=2)
+        assert list(pf) == [0, 1, 2, 3, 4]
+        pf.close()

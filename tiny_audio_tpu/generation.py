@@ -404,13 +404,18 @@ def _stream_prefill(decoder, variables, inputs_embeds, input_ids, cache, rng, ge
 
 
 @functools.partial(
-    jax.jit, static_argnames=("decoder", "gen", "t"),
+    jax.jit, static_argnames=("decoder", "gen"),
     donate_argnames=("step_cache",),
 )
 def _stream_step(decoder, variables, cur, pos, t, step_cache, seen, all_tokens,
                  rng, gen):
     """One decode step: rng split, penalties, selection all in-graph — the
-    only per-token host traffic is the token sync itself."""
+    only per-token host traffic is the token sync itself.
+
+    ``pos`` and ``t`` are TRACED scalars on purpose: they only feed scalar
+    arithmetic, and making either static would recompile this graph for
+    every distinct prompt length (multi-second TTFB stall per new length)
+    instead of keying the cache on (b, s, gen) alone."""
     b = cur.shape[0]
     s = step_cache["k"].shape[2]
     rng, key = jax.random.split(rng)

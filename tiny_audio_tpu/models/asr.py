@@ -86,6 +86,48 @@ def splice_audio(
     )
 
 
+def filter_think_stream(chunks):
+    """Incrementally strip ``<think>…</think>`` spans from a stream of text
+    chunks (reference asr_modeling.py:736-765).
+
+    Tags are consumed in POSITIONAL order, alternating with state: one chunk
+    can contain ``</think>hi <think>``, and handling ``<think>`` first
+    regardless of state would leak the buffered think content (plus a
+    literal ``</think>``) to the client.
+    """
+    in_think = False
+    buffer = ""
+    for text in chunks:
+        buffer += text
+        while True:
+            if in_think:
+                if "</think>" not in buffer:
+                    break
+                in_think = False
+                buffer = buffer.split("</think>", 1)[1]
+            else:
+                if "<think>" not in buffer:
+                    break
+                before, buffer = buffer.split("<think>", 1)
+                if before:
+                    yield before
+                in_think = True
+        if not in_think and buffer:
+            # hold back a trailing PARTIAL '<think' prefix — the tag can be
+            # split across decode chunks, and flushing 'a<thi' here would
+            # leak it before the rest of the tag arrives
+            hold = 0
+            for k in range(min(len("<think>") - 1, len(buffer)), 0, -1):
+                if buffer.endswith("<think>"[:k]):
+                    hold = k
+                    break
+            out, buffer = buffer[: len(buffer) - hold], buffer[len(buffer) - hold:]
+            if out:
+                yield out
+    if buffer and not in_think:
+        yield buffer  # a partial tag at stream end is real text
+
+
 class ASRModel:
     """Composition + orchestration.  Parameters live in a plain pytree::
 
@@ -402,33 +444,19 @@ class ASRModel:
             self.params, input_features, audio_attention_mask, input_ids
         )
 
-        in_think = False
-        buffer = ""
-        pending: list[int] = []
-        for tok in stream_generate(
-            self.decoder, {"params": self.params["decoder"]},
-            inputs_embeds, input_ids, self.gen_config,
-        ):
-            pending.append(tok)
-            text = self.tokenizer.decode(pending, skip_special_tokens=True)
-            if not text:
-                continue
-            pending = []
-            buffer += text
-            while "<think>" in buffer:
-                in_think = True
-                before = buffer.split("<think>")[0]
-                if before:
-                    yield before
-                buffer = buffer.split("<think>", 1)[-1]
-            while in_think and "</think>" in buffer:
-                in_think = False
-                buffer = buffer.split("</think>", 1)[-1]
-            if not in_think and buffer:
-                yield buffer
-                buffer = ""
-        if buffer and not in_think:
-            yield buffer
+        def decoded_chunks():
+            pending: list[int] = []
+            for tok in stream_generate(
+                self.decoder, {"params": self.params["decoder"]},
+                inputs_embeds, input_ids, self.gen_config,
+            ):
+                pending.append(tok)
+                text = self.tokenizer.decode(pending, skip_special_tokens=True)
+                if text:
+                    pending = []
+                    yield text
+
+        yield from filter_think_stream(decoded_chunks())
 
     # ------------------------------------------------------------ persistence
 

@@ -72,26 +72,53 @@ class TrainingConfig:
 
 
 class _Prefetcher:
-    """Background thread running the collator ahead of the device step."""
+    """Background thread running the collator ahead of the device step.
+
+    ``close()`` MUST be called when the consumer stops early (max_steps,
+    early stopping): without it the producer blocks in ``q.put`` forever,
+    the underlying generator's ``finally`` (transform-pool shutdown) never
+    runs, and the queued device-resident batches stay referenced."""
 
     _STOP = object()
 
     def __init__(self, batch_iter: Iterable, depth: int = 2):
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self.error: Optional[BaseException] = None
+        self._stop = False
         self._thread = threading.Thread(
             target=self._run, args=(iter(batch_iter),), daemon=True
         )
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        while not self._stop:
+            try:
+                self.q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _run(self, it):
         try:
             for item in it:
-                self.q.put(item)
+                if not self._put(item):
+                    break
         except BaseException as e:  # surface worker errors on the main thread
             self.error = e
         finally:
-            self.q.put(self._STOP)
+            if hasattr(it, "close"):  # run the generator's finally NOW
+                it.close()
+            self._put(self._STOP)
+
+    def close(self) -> None:
+        self._stop = True
+        while True:  # unblock a producer waiting on a full queue
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=10)
 
     def __iter__(self):
         while True:
@@ -311,30 +338,18 @@ class Trainer:
     # ------------------------------------------------------------------ step
 
     def _make_step(self):
-        model, tx = self.model, self.tx
-
-        def train_step(params, opt_state, batch, rng):
-            rng, drop, jit_r = jax.random.split(rng, 3)
-
-            def loss_fn(p):
-                return model.compute_loss(
-                    p, batch, train=True, rngs={"dropout": drop, "jitter": jit_r}
-                )
-
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            metrics["grad_norm"] = optax.global_norm(grads)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, metrics, rng
+        from tiny_audio_tpu.train.optim import make_train_step
 
         return jax.jit(
-            train_step,
+            make_train_step(self.model, self.tx),
             in_shardings=(self._param_shardings, None, None, None),
             out_shardings=(self._param_shardings, None, None, None, None),
             donate_argnums=(0, 1),
         )
 
     # ------------------------------------------------------------ checkpoints
+
+    _last_saved_step: int = -1
 
     def _save_checkpoint(self, step: int) -> None:
         import orbax.checkpoint as ocp
@@ -346,6 +361,7 @@ class Trainer:
         }
         self._ckpt_mgr.save(step, args=ocp.args.StandardSave(tree))
         self._ckpt_mgr.wait_until_finished()
+        self._last_saved_step = step
         # model-level artifact (config + trainable weights) next to it
         self.model.save_pretrained(self.out_dir / "model", save_towers=False)
         for cb in self.callbacks:
@@ -377,6 +393,7 @@ class Trainer:
             lambda x: jnp.asarray(np.asarray(x)), restored["opt_state"]
         )
         print(f"[trainer] resumed from step {latest}")
+        self._last_saved_step = int(restored["step"])  # already on disk
         return int(restored["step"])
 
     # --------------------------------------------------------------- logging
@@ -413,7 +430,7 @@ class Trainer:
         for i, batch in enumerate(it):
             if i >= self.config.eval_batches:
                 break
-            batch = self._put_batch(batch)
+            batch = self._put_batch(batch, global_bs)
             metrics = self._eval_step(self.model.params, batch)
             losses.append(float(metrics["ce_loss"]))
             aux.append(float(metrics["aux_loss"]))
@@ -424,13 +441,17 @@ class Trainer:
             "eval_aux_loss": float(np.mean(aux)),
         }
 
-    def _put_batch(self, batch: dict) -> dict:
-        """Shard a host batch over dp, padding the leading axis to a dp
-        multiple by duplicating real rows (duplicates get labels=-100, so
-        they are compute ballast, never gradient signal)."""
+    def _put_batch(self, batch: dict, target_rows: Optional[int] = None) -> dict:
+        """Shard a host batch over dp, padding the leading axis to
+        ``target_rows`` (the FIXED global batch size — a collator-filtered
+        row must not change the jitted step's batch dimension, which would
+        cost a multi-minute recompile per distinct deficit) by duplicating
+        real rows (duplicates get labels=-100, so they are compute ballast,
+        never gradient signal).  Without ``target_rows``, pads to a dp
+        multiple only."""
         dp = self.mesh.shape["dp"]
         n = batch["input_ids"].shape[0]
-        target = -(-n // dp) * dp
+        target = target_rows if target_rows is not None else -(-n // dp) * dp
         if target != n:
             # jnp indexing: the mel features are already device arrays
             # (collator keeps them on device) — np.asarray here would pull
@@ -470,78 +491,102 @@ class Trainer:
         window_losses: list[float] = []
         nonfinite_streak = 0
         t_window = time.time()
+        prev_loss = None  # device array of the PREVIOUS micro-step
 
-        with self.mesh:
-            for batch in it:
-                if step >= cfg.max_steps:
-                    break
-                batch = self._put_batch(batch)
-                if self._accum > 1:
-                    is_update = (micro + 1) % self._accum == 0
-                    fn = self._update_step if is_update else self._accumulate_step
-                    (
-                        self.model.params, self.opt_state, self.grad_accum,
-                        loss, metrics, rng,
-                    ) = fn(
-                        self.model.params, self.opt_state, self.grad_accum,
-                        batch, rng,
-                    )
-                else:
-                    self.model.params, self.opt_state, loss, metrics, rng = (
-                        self._train_step(
-                            self.model.params, self.opt_state, batch, rng
+        def check_loss(loss_arr) -> None:
+            # apply_if_finite only SKIPS bad updates; a sustained NaN run
+            # means the data/LR is systemically broken — abort before the
+            # guard's error budget runs out and a NaN update is applied.
+            nonlocal nonfinite_streak
+            loss_f = float(loss_arr)
+            nonfinite_streak = 0 if np.isfinite(loss_f) else nonfinite_streak + 1
+            if nonfinite_streak >= 25:
+                raise FloatingPointError(
+                    f"loss non-finite for {nonfinite_streak} consecutive "
+                    f"micro-batches around step {step} — aborting before "
+                    "optimizer-state poisoning"
+                )
+            window_losses.append(loss_f)
+
+        try:
+            with self.mesh:
+                for batch in it:
+                    if step >= cfg.max_steps:
+                        break
+                    batch = self._put_batch(batch, global_bs)
+                    if self._accum > 1:
+                        is_update = (micro + 1) % self._accum == 0
+                        fn = self._update_step if is_update else self._accumulate_step
+                        (
+                            self.model.params, self.opt_state, self.grad_accum,
+                            loss, metrics, rng,
+                        ) = fn(
+                            self.model.params, self.opt_state, self.grad_accum,
+                            batch, rng,
                         )
-                    )
-                micro += 1
-                loss_f = float(loss)
-                # apply_if_finite only SKIPS bad updates; a sustained NaN run
-                # means the data/LR is systemically broken — abort before the
-                # guard's error budget runs out and a NaN update is applied.
-                nonfinite_streak = 0 if np.isfinite(loss_f) else nonfinite_streak + 1
-                if nonfinite_streak >= 25:
-                    raise FloatingPointError(
-                        f"loss non-finite for {nonfinite_streak} consecutive "
-                        f"micro-batches at step {step} — aborting before "
-                        "optimizer-state poisoning"
-                    )
-                window_losses.append(loss_f)
-                if micro % accum != 0:
-                    continue  # mid-accumulation: no optimizer update happened
-                step += 1
+                    else:
+                        self.model.params, self.opt_state, loss, metrics, rng = (
+                            self._train_step(
+                                self.model.params, self.opt_state, batch, rng
+                            )
+                        )
+                    micro += 1
+                    # Watchdog reads the PREVIOUS step's loss: float(loss) on the
+                    # step just dispatched would block until the device finishes,
+                    # serializing host-side batch placement against compute.  The
+                    # one-step lag keeps dispatch async at full depth; the NaN
+                    # abort fires one micro-step later, well inside
+                    # apply_if_finite's 100-error budget.
+                    if prev_loss is not None:
+                        check_loss(prev_loss)
+                    prev_loss = loss
+                    if micro % accum != 0:
+                        continue  # mid-accumulation: no optimizer update happened
+                    step += 1
 
-                if step % cfg.logging_steps == 0:
-                    dt = time.time() - t_window
-                    self._log(
-                        {
-                            "step": step,
-                            "loss": float(np.mean(window_losses)),
-                            "ce_loss": float(metrics["ce_loss"]),
-                            "aux_loss": float(metrics["aux_loss"]),
-                            "grad_norm": float(metrics["grad_norm"]),
-                            "steps_per_s": (len(window_losses) / accum)
-                            / max(dt, 1e-9),
-                        }
-                    )
-                    window_losses, t_window = [], time.time()
+                    if step % cfg.logging_steps == 0:
+                        dt = time.time() - t_window
+                        self._log(
+                            {
+                                "step": step,
+                                "loss": float(np.mean(window_losses)),
+                                "ce_loss": float(metrics["ce_loss"]),
+                                "aux_loss": float(metrics["aux_loss"]),
+                                "grad_norm": float(metrics["grad_norm"]),
+                                "steps_per_s": (len(window_losses) / accum)
+                                / max(dt, 1e-9),
+                            }
+                        )
+                        window_losses, t_window = [], time.time()
 
-                if cfg.eval_steps and step % cfg.eval_steps == 0:
-                    eval_metrics = self.evaluate()
-                    if eval_metrics:
-                        self._log({"step": step, **eval_metrics})
-                        if cfg.early_stopping_patience:
-                            if eval_metrics["eval_loss"] < best_eval - 1e-5:
-                                best_eval = eval_metrics["eval_loss"]
-                                patience_left = cfg.early_stopping_patience
-                            else:
-                                patience_left -= 1
-                                if patience_left <= 0:
-                                    print("[trainer] early stopping")
-                                    break
+                    if cfg.eval_steps and step % cfg.eval_steps == 0:
+                        eval_metrics = self.evaluate()
+                        if eval_metrics:
+                            self._log({"step": step, **eval_metrics})
+                            if cfg.early_stopping_patience:
+                                if eval_metrics["eval_loss"] < best_eval - 1e-5:
+                                    best_eval = eval_metrics["eval_loss"]
+                                    patience_left = cfg.early_stopping_patience
+                                else:
+                                    patience_left -= 1
+                                    if patience_left <= 0:
+                                        print("[trainer] early stopping")
+                                        break
 
-                if cfg.save_steps and step % cfg.save_steps == 0:
-                    self._save_checkpoint(step)
+                    if cfg.save_steps and step % cfg.save_steps == 0:
+                        self._save_checkpoint(step)
 
-        self._save_checkpoint(step)
+            if prev_loss is not None:  # the lagged watchdog's final sample
+                check_loss(prev_loss)
+        finally:
+            # stop the prefetch thread + transform pool, free queued batches
+            # (also on the NaN-abort and any other exception path)
+            it.close()
+        if self._last_saved_step != step:
+            # orbax raises StepAlreadyExistsError on a re-save — without the
+            # guard a run whose max_steps is a save_steps multiple crashed
+            # on this line after the loop's own save
+            self._save_checkpoint(step)
         final = {"final_step": step}
         eval_metrics = self.evaluate()
         if eval_metrics:
