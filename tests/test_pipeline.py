@@ -222,3 +222,38 @@ class TestLongFormChunking:
         monkeypatch.setattr(pipe.model, "generate", fake_generate)
         pipe(np.zeros(16000, np.float32))
         assert len(calls) == 1
+
+
+class TestTranscribeBatch:
+    def test_batched_matches_solo(self, monkeypatch):
+        """transcribe_batch on N clips returns the same texts as N solo calls
+        (same model, same shapes up to batch padding)."""
+        import numpy as np
+
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        pipe = ASRPipeline(model)
+        rng = np.random.default_rng(0)
+        clips = [
+            (0.1 * rng.standard_normal(16000)).astype(np.float32)
+            for _ in range(3)
+        ]
+        solo = [pipe(c)["text"] for c in clips]
+        batched = pipe.transcribe_batch(clips)
+        assert batched == solo
+
+    def test_rejects_longform(self):
+        import numpy as np
+        import pytest
+
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        pipe = ASRPipeline(ASRModel(tiny_test_config(model_dtype="float32"),
+                                    seed=0))
+        with pytest.raises(ValueError, match="long-form"):
+            pipe.transcribe_batch([np.zeros(31 * 16000 * 2, np.float32)])

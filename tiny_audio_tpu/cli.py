@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     srv.add_argument("--host", default="0.0.0.0")
     srv.add_argument("--port", type=int, default=8000)
     srv.add_argument("--no-warmup", action="store_true")
+    srv.add_argument("--no-batching", action="store_true",
+                     help="disable dynamic request coalescing")
+    srv.add_argument("--max-batch", type=int, default=16)
+    srv.add_argument("--max-wait-ms", type=float, default=20.0)
     srv.set_defaults(func=_cmd_serve)
 
     demo = sub.add_parser("demo", help="Launch the Gradio demo")
@@ -97,7 +101,10 @@ def _cmd_tpu_vm(args) -> int:
 def _cmd_serve(args) -> int:
     from tiny_audio_tpu.serving import serve
 
-    serve(args.model, host=args.host, port=args.port, warmup=not args.no_warmup)
+    serve(args.model, host=args.host, port=args.port,
+          warmup=not args.no_warmup,
+          dynamic_batching=not args.no_batching,
+          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
     return 0
 
 

@@ -232,6 +232,51 @@ class ASRPipeline:
 
         return result
 
+    def transcribe_batch(
+        self,
+        audios: list,
+        user_prompt: Optional[str] = None,
+        **generate_kwargs,
+    ) -> list[str]:
+        """Transcribe MANY short clips in one batched generate call — the
+        serving-side dynamic-batching entry (:mod:`tiny_audio_tpu.batching`).
+
+        Decode is weight-read-bound, so N coalesced requests share one pass
+        over the 1.2 GB of decoder weights instead of paying it N times.
+        Each element goes through the same extract/normalize path as a solo
+        ``__call__``; clips longer than MAX_CHUNK_SECONDS are rejected (the
+        batcher routes long-form requests through the solo path).  The batch
+        is padded to a power-of-2 row count so only log2 batch shapes ever
+        compile (see the long-form grouping above).
+        """
+        arrays = []
+        limit = int(self.MAX_CHUNK_SECONDS * 16000)
+        for inputs in audios:
+            audio = self.extract_audio(inputs)
+            if len(audio["array"]) > limit:
+                raise ValueError(
+                    f"transcribe_batch takes clips <= {self.MAX_CHUNK_SECONDS}"
+                    " s; route long-form inputs through __call__"
+                )
+            arrays.append(audio["array"])
+        n_real = len(arrays)
+        bucket = 1
+        while bucket < n_real:
+            bucket *= 2
+        longest = max(len(a) for a in arrays)
+        arrays = arrays + [
+            np.zeros(longest, np.float32) for _ in range(bucket - n_real)
+        ]
+        feats = self.processor.extract_features(arrays)
+        tokens = self.model.generate(
+            feats["input_features"],
+            feats["audio_attention_mask"],
+            user_prompt=user_prompt,
+            mel_length=int(np.max(feats["mel_lengths"])),
+            **generate_kwargs,
+        )
+        return [self.postprocess_tokens(tokens[i]) for i in range(n_real)]
+
     # ----------------------------------------------------------- postprocess
 
     def postprocess_tokens(self, tokens: Union[np.ndarray, list]) -> str:

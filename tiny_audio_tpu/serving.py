@@ -24,10 +24,19 @@ import numpy as np
 
 
 def make_server(
-    handler, host: str = "0.0.0.0", port: int = 8000
+    handler, host: str = "0.0.0.0", port: int = 8000,
+    batcher=None,
 ) -> ThreadingHTTPServer:
-    """``handler``: an :class:`~tiny_audio_tpu.handler.EndpointHandler`."""
-    lock = threading.Lock()
+    """``handler``: an :class:`~tiny_audio_tpu.handler.EndpointHandler`.
+
+    ``batcher``: optional :class:`~tiny_audio_tpu.batching.DynamicBatcher`.
+    Plain short-clip transcriptions (no timestamps/speakers, <= 30 s) from
+    concurrent requests then coalesce into ONE batched generate — decode is
+    weight-read-bound, so the batch shares the weight pass; everything else
+    falls back to the lock-serialized solo path.  Solo and batched TPU work
+    serialize on the SAME lock (both graphs are sized near the chip's HBM
+    budget)."""
+    lock = batcher.lock if batcher is not None else threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -67,6 +76,26 @@ def make_server(
                 params["return_speakers"] = True
             if "prompt" in q:
                 params["user_prompt"] = q["prompt"][0]
+
+            if (
+                batcher is not None
+                and not params.get("return_timestamps")
+                and not params.get("return_speakers")
+            ):
+                try:
+                    audio = batcher.pipe.extract_audio(inputs)["array"]
+                except Exception:
+                    audio = None  # undecodable: solo path reports the error
+                limit = int(batcher.pipe.MAX_CHUNK_SECONDS * 16000)
+                if audio is not None and len(audio) <= limit:
+                    try:
+                        text = batcher.submit(
+                            audio, params.get("user_prompt")
+                        ).result(timeout=120)
+                        self._send(200, {"text": text})
+                    except Exception as e:
+                        self._send(500, {"error": str(e)})
+                    return
             with lock:  # serialize TPU work
                 result = handler({"inputs": inputs, "parameters": params})
             self._send(200 if "error" not in result else 500, result)
@@ -75,13 +104,21 @@ def make_server(
 
 
 def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
-          warmup: bool = True) -> None:
+          warmup: bool = True, dynamic_batching: bool = True,
+          max_batch: int = 16, max_wait_ms: float = 20.0) -> None:
     from tiny_audio_tpu.handler import EndpointHandler
 
     handler = EndpointHandler(model_path)
     if warmup:
         print("[serve] warming up (compiling)...")
         handler.warmup()
-    server = make_server(handler, host, port)
-    print(f"[serve] listening on {host}:{port}")
+    batcher = None
+    if dynamic_batching:
+        from tiny_audio_tpu.batching import DynamicBatcher
+
+        batcher = DynamicBatcher(handler.pipe, max_batch=max_batch,
+                                 max_wait_ms=max_wait_ms)
+    server = make_server(handler, host, port, batcher=batcher)
+    print(f"[serve] listening on {host}:{port}"
+          + (f" (dynamic batching <= {max_batch})" if batcher else ""))
     server.serve_forever()
