@@ -19,11 +19,12 @@ from tiny_audio_tpu.models.decoder import Qwen3Decoder
 from tiny_audio_tpu.ops.fused_decode import flatten_cache, fused_decode_step
 
 
-def _setup(kv_cache_dtype):
+def _setup(kv_cache_dtype, qk_norm=True):
     cfg = DecoderConfig(
         vocab_size=97, hidden_size=128, num_layers=2, num_heads=2,
         num_kv_heads=1, head_dim=128, intermediate_size=160,
         max_position_embeddings=256, kv_cache_dtype=kv_cache_dtype,
+        qk_norm=qk_norm,
     )
     dec = Qwen3Decoder(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     rng = np.random.default_rng(7)
@@ -35,9 +36,12 @@ def _setup(kv_cache_dtype):
     return cfg, dec, variables, ids, rng
 
 
-@pytest.mark.parametrize("kvd", ["bfloat16", "int8"])
-def test_fused_step_matches_module(kvd):
-    cfg, dec, variables, ids, rng = _setup(kvd)
+@pytest.mark.parametrize(
+    "kvd,qk_norm",
+    [("bfloat16", True), ("int8", True), ("bfloat16", False)],
+)
+def test_fused_step_matches_module(kvd, qk_norm):
+    cfg, dec, variables, ids, rng = _setup(kvd, qk_norm)
     b, t = ids.shape
     steps = 3
     s = 16

@@ -133,6 +133,12 @@ class DecoderConfig:
     tie_word_embeddings: bool = True
     max_position_embeddings: int = 40960
 
+    # Per-head QK RMSNorm — the Qwen3 signature feature.  False selects the
+    # Llama-family variant (Llama/SmolLM2/Mistral layouts: identical block
+    # otherwise), mirroring the reference's "any AutoModelForCausalLM text
+    # tower" contract (/root/reference/tiny_audio/asr_modeling.py:239-254).
+    qk_norm: bool = True
+
     # KV-cache storage: "bfloat16" (default) or "int8" (per-entry-scaled
     # symmetric quantization — halves decode-time cache bandwidth/memory;
     # serving-mode opt-in via ASRConfig.kv_cache_dtype)
@@ -154,6 +160,51 @@ class DecoderConfig:
 
     def __post_init__(self):
         object.__setattr__(self, "lora_targets", tuple(self.lora_targets))
+
+    @staticmethod
+    def from_hf_config(hf: dict) -> "DecoderConfig":
+        """Derive decoder dims from an HF causal-LM ``config.json`` dict
+        (qwen3 / llama / smollm2 / mistral) — the offline analogue of the
+        reference's AutoConfig-driven text-tower loading
+        (``/root/reference/tiny_audio/asr_modeling.py:239-254``)."""
+        return DecoderConfig(**decoder_kwargs_from_hf(hf))
+
+
+def decoder_kwargs_from_hf(hf: dict) -> dict:
+    """The DecoderConfig fields an HF causal-LM ``config.json`` actually
+    carries (plus the derivable ``head_dim``/``num_kv_heads``/``qk_norm``).
+
+    Returns ONLY determinable keys — callers reconciling against a
+    user-supplied DecoderConfig must overlay these so runtime-only knobs
+    (kv_cache_dtype, LoRA, gradient checkpointing) survive.
+    """
+    kw: dict = {}
+    for ours, theirs, conv in [
+        ("vocab_size", ("vocab_size",), int),
+        ("hidden_size", ("hidden_size",), int),
+        ("num_layers", ("num_hidden_layers",), int),
+        ("num_heads", ("num_attention_heads",), int),
+        ("num_kv_heads", ("num_key_value_heads",), int),
+        ("head_dim", ("head_dim",), int),
+        ("intermediate_size", ("intermediate_size",), int),
+        ("rope_theta", ("rope_theta",), float),
+        ("rms_norm_eps", ("rms_norm_eps",), float),
+        ("tie_word_embeddings", ("tie_word_embeddings",), bool),
+        ("max_position_embeddings", ("max_position_embeddings",), int),
+    ]:
+        for name in theirs:
+            if hf.get(name) is not None:
+                kw[ours] = conv(hf[name])
+                break
+    if "head_dim" not in kw and {"hidden_size", "num_heads"} <= kw.keys():
+        kw["head_dim"] = kw["hidden_size"] // kw["num_heads"]
+    if "num_kv_heads" not in kw and "num_heads" in kw:
+        kw["num_kv_heads"] = kw["num_heads"]  # MHA checkpoints omit it
+    if "model_type" in hf:
+        # QK-norm is the qwen3 family signature; llama-family configs
+        # have no such weights
+        kw["qk_norm"] = hf["model_type"] in ("qwen3", "qwen3_moe")
+    return kw
 
 
 @dataclass

@@ -239,6 +239,27 @@ def convert_checkpoint(
                 )
                 config.encoder = _dc.replace(config.encoder, **changed)
 
+    if decoder_path:
+        # same provenance overlay for the text tower (qwen3 or llama family)
+        import dataclasses as _dc
+        import json as _json
+
+        cfg_json = Path(decoder_path) / "config.json"
+        if cfg_json.is_file():
+            from tiny_audio_tpu.config import decoder_kwargs_from_hf
+
+            found = decoder_kwargs_from_hf(_json.loads(cfg_json.read_text()))
+            changed = {
+                k: v for k, v in found.items()
+                if getattr(config.decoder, k) != v
+            }
+            if changed:
+                logger.warning(
+                    "decoder config overridden by %s/config.json: %s",
+                    decoder_path, changed,
+                )
+                config.decoder = _dc.replace(config.decoder, **changed)
+
     dtype = jnp.bfloat16 if config.model_dtype == "bfloat16" else jnp.float32
     model = ASRModel(config, seed=seed)
 

@@ -104,11 +104,13 @@ class Qwen3Block(nn.Module):
         k = dense(x, cfg.num_kv_heads * hd, "k_proj").reshape(b, t, cfg.num_kv_heads, hd)
         v = dense(x, cfg.num_kv_heads * hd, "v_proj").reshape(b, t, cfg.num_kv_heads, hd)
 
-        # Per-head QK RMSNorm (Qwen3 signature feature), then RoPE
-        q_norm_w = self.param("q_norm", nn.initializers.ones, (hd,), jnp.float32)
-        k_norm_w = self.param("k_norm", nn.initializers.ones, (hd,), jnp.float32)
-        q = rms_norm(q, q_norm_w, cfg.rms_norm_eps)
-        k = rms_norm(k, k_norm_w, cfg.rms_norm_eps)
+        # Per-head QK RMSNorm (Qwen3 signature feature; absent in the
+        # Llama/SmolLM2 family, cfg.qk_norm=False), then RoPE
+        if cfg.qk_norm:
+            q_norm_w = self.param("q_norm", nn.initializers.ones, (hd,), jnp.float32)
+            k_norm_w = self.param("k_norm", nn.initializers.ones, (hd,), jnp.float32)
+            q = rms_norm(q, q_norm_w, cfg.rms_norm_eps)
+            k = rms_norm(k, k_norm_w, cfg.rms_norm_eps)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
 
@@ -288,8 +290,14 @@ class Qwen3Decoder(nn.Module):
 
 
 def convert_hf_qwen3(state_dict: dict, cfg: DecoderConfig, dtype=jnp.bfloat16) -> dict:
-    """Convert an HF Qwen3ForCausalLM state_dict (torch or numpy tensors) to
-    this module's parameter pytree (layers stacked for ``nn.scan``)."""
+    """Convert an HF causal-LM state_dict (torch or numpy tensors) to this
+    module's parameter pytree (layers stacked for ``nn.scan``).
+
+    Covers Qwen3ForCausalLM and, with ``cfg.qk_norm=False``, the
+    Llama-family layout (LlamaForCausalLM / SmolLM2 / Mistral) — identical
+    key naming minus the per-head ``q_norm``/``k_norm`` weights
+    (the reference accepts any AutoModelForCausalLM text tower,
+    asr_modeling.py:239-254)."""
 
     def t(name, transpose=False, cast=None):
         w = state_dict[name]
@@ -311,12 +319,15 @@ def convert_hf_qwen3(state_dict: dict, cfg: DecoderConfig, dtype=jnp.bfloat16) -
         "k_proj": {"kernel": stack(p + "layers.{}.self_attn.k_proj.weight", transpose=True)},
         "v_proj": {"kernel": stack(p + "layers.{}.self_attn.v_proj.weight", transpose=True)},
         "o_proj": {"kernel": stack(p + "layers.{}.self_attn.o_proj.weight", transpose=True)},
-        "q_norm": stack(p + "layers.{}.self_attn.q_norm.weight", cast=jnp.float32),
-        "k_norm": stack(p + "layers.{}.self_attn.k_norm.weight", cast=jnp.float32),
         "gate_proj": {"kernel": stack(p + "layers.{}.mlp.gate_proj.weight", transpose=True)},
         "up_proj": {"kernel": stack(p + "layers.{}.mlp.up_proj.weight", transpose=True)},
         "down_proj": {"kernel": stack(p + "layers.{}.mlp.down_proj.weight", transpose=True)},
     }
+    if cfg.qk_norm:
+        layers["q_norm"] = stack(p + "layers.{}.self_attn.q_norm.weight",
+                                 cast=jnp.float32)
+        layers["k_norm"] = stack(p + "layers.{}.self_attn.k_norm.weight",
+                                 cast=jnp.float32)
     params = {
         "embed_tokens": {"embedding": t(p + "embed_tokens.weight")},
         "layers": layers,

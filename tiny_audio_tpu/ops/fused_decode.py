@@ -71,8 +71,12 @@ def fused_decode_step(
     positions = jnp.full((b, 1), pos, jnp.int32)
     cos, sin = rotary_embed(positions, hd, cfg.rope_theta)
 
-    q_norm_stack = params["layers"]["q_norm"]
-    k_norm_stack = params["layers"]["k_norm"]
+    if cfg.qk_norm:
+        q_norm_stack = params["layers"]["q_norm"]
+        k_norm_stack = params["layers"]["k_norm"]
+    else:  # llama-family: no per-head QK norm; dummies keep the scan xs shape
+        q_norm_stack = jnp.zeros((cfg.num_layers, 1), jnp.float32)
+        k_norm_stack = q_norm_stack
 
     def layer(carry, xs):
         x, ck, cv, ks, vs = carry
@@ -85,8 +89,9 @@ def fused_decode_step(
         q = (h @ w("q_proj")).reshape(b, 1, hq, hd)
         k = (h @ w("k_proj")).reshape(b, 1, hkv, hd)
         v = (h @ w("v_proj")).reshape(b, 1, hkv, hd)
-        q = rms_norm(q, q_norm_w, eps)
-        k = rms_norm(k, k_norm_w, eps)
+        if cfg.qk_norm:
+            q = rms_norm(q, q_norm_w, eps)
+            k = rms_norm(k, k_norm_w, eps)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
 
