@@ -123,10 +123,31 @@ def _cmd_dev(args) -> int:
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
+
+    if args.task == "test-all":
+        # Full suite in FILE SHARDS, one pytest process each: a single
+        # process accumulating ~250+ XLA CPU compilations flakily segfaults
+        # inside jaxlib's backend_compile_and_load on this stack (observed
+        # twice at different tests, same native frame — environment bug,
+        # not a repo bug).  Sharding bounds per-process compile count and
+        # is how CI and review runs execute the suite.
+        files = sorted(p.name for p in (repo / "tests").glob("test_*.py"))
+        n_shards = 4
+        shards = [files[i::n_shards] for i in range(n_shards)]
+        for i, shard in enumerate(shards):
+            print(f"[dev] test shard {i + 1}/{n_shards}: {len(shard)} files")
+            rc = subprocess.call(
+                [sys.executable, "-m", "pytest", "-x", "-q"]
+                + [f"tests/{f}" for f in shard],
+                cwd=repo,
+            )
+            if rc != 0:
+                return rc
+        return 0
+
     cmds = {
         "test": [sys.executable, "-m", "pytest", "tests/", "-x", "-q",
                  "-m", "not slow"],  # iteration profile; `ta dev test-all` = full
-        "test-all": [sys.executable, "-m", "pytest", "tests/", "-x", "-q"],
         "lint": [sys.executable, "-m", "ruff", "check", "tiny_audio_tpu", "tests"],
         "format": [sys.executable, "-m", "ruff", "format", "tiny_audio_tpu",
                    "tests", "scripts"],
