@@ -82,7 +82,15 @@ def main() -> None:
         port = server.server_address[1]
         st = threading.Thread(target=server.serve_forever, daemon=True)
         st.start()
-        # warm the shapes this mode will use (compile outside the timing)
+        # warm every shape this mode will hit, from the MAIN thread, before
+        # timing (each cold batch bucket compiles for minutes)
+        arr = np.frombuffer(clip, np.float32)
+        if batcher is not None:
+            for bucket in (1, 2, 4, 8, 16):
+                print(f"[warm] batch bucket {bucket}", flush=True)
+                pipe.transcribe_batch([arr] * bucket)
+        else:
+            pipe(arr)
         fire(port, clip, 4, 4)
         wall = fire(port, clip, N_REQ, CONCURRENCY)
         server.shutdown()

@@ -52,3 +52,29 @@ def test_generation_defaults():
     assert cfg.repetition_penalty == 1.0
     assert cfg.use_cache is True
     assert cfg.do_sample is False
+
+
+class TestBucketFrames:
+    def test_within_buckets(self):
+        from tiny_audio_tpu.processing import bucket_frames
+
+        assert bucket_frames(1) == 500
+        assert bucket_frames(500) == 500
+        assert bucket_frames(501) == 1000
+        assert bucket_frames(3000) == 3000
+
+    def test_past_last_bucket_continues_step(self):
+        """Regression: 3100 frames rounded to 6000 (ceil to multiples of the
+        last bucket), nearly doubling mel+encoder compute past 30 s; the
+        step pattern must continue instead (3100 -> 3500)."""
+        from tiny_audio_tpu.processing import bucket_frames
+
+        assert bucket_frames(3100) == 3500
+        assert bucket_frames(3500) == 3500
+        assert bucket_frames(3501) == 4000
+        assert bucket_frames(6001) == 6500
+
+    def test_single_bucket_list(self):
+        from tiny_audio_tpu.processing import bucket_frames
+
+        assert bucket_frames(150, buckets=(100,)) == 200

@@ -219,9 +219,12 @@ class TestAssignWords:
         out = SpeakerDiarizer.assign_speakers_to_words(words, self.SEGMENTS)
         assert out[0]["speaker"] == "SPEAKER_00"
 
-    def test_no_segments_passthrough(self):
+    def test_no_segments_yields_none_speaker(self):
+        # schema stays uniform: every word carries a 'speaker' key even when
+        # diarization found no segments (silent-ish clips)
         words = [{"word": "x", "start": 0.0, "end": 1.0}]
-        assert SpeakerDiarizer.assign_speakers_to_words(words, []) == words
+        out = SpeakerDiarizer.assign_speakers_to_words(words, [])
+        assert out == [{"word": "x", "start": 0.0, "end": 1.0, "speaker": None}]
 
     def test_input_not_mutated(self):
         words = [{"word": "hi", "start": 0.5, "end": 1.0}]

@@ -91,6 +91,43 @@ class TestBaseEvaluator:
         assert should_skip_reference("has <inaudible> part")
         assert not should_skip_reference("fine")
 
+    def test_normalizer_emptied_reference_skipped(self):
+        """'mm-hmm'/'***' normalize to ''; align_counts([], hyp) is inf WER,
+        which must not poison avg_sample_wer (regression)."""
+        rows = self._rows(["a b c", "mm-hmm", "***"])
+        results, metrics = _EchoEvaluator().evaluate(rows)
+        assert metrics["num_samples"] == 1
+        assert np.isfinite(metrics["avg_sample_wer"])
+
+    def test_lazy_iteration_respects_num_samples(self):
+        """The dataset is consumed lazily: with num_samples=2 a streaming
+        source must not be drained (regression: everything was materialized
+        into RAM up front)."""
+        consumed = []
+
+        def gen():
+            for i in range(1000):
+                consumed.append(i)
+                yield {"audio": {"array": np.zeros(160)}, "text": f"t {i}"}
+
+        _, metrics = _EchoEvaluator().evaluate(gen(), num_samples=2)
+        assert metrics["num_samples"] == 2
+        assert len(consumed) <= 3  # islice stops at the cap
+
+    def test_parallel_lazy_windows(self):
+        consumed = []
+
+        def gen():
+            for i in range(500):
+                consumed.append(i)
+                yield {"audio": {"array": np.zeros(160)}, "text": f"t {i}"}
+
+        ev = _EchoEvaluator()
+        ev.num_workers = 4
+        _, metrics = ev.evaluate(gen(), num_samples=8)
+        assert metrics["num_samples"] == 8
+        assert len(consumed) <= 24  # one bounded window, not the full source
+
 
 class TestDER:
     REF = [

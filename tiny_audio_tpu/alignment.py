@@ -77,8 +77,30 @@ class ForcedAligner:
     def align_emissions(
         cls, emission: np.ndarray, text: str, frame_duration: float
     ) -> list[dict]:
-        """Align a transcript against an emission matrix (testable core)."""
-        tokens = cls.tokenize_transcript(text)
+        """Align a transcript against an emission matrix (testable core).
+
+        Words whose characters are all outside the CTC label set (digits,
+        symbols — e.g. "123", "$5") contribute NO tokens, so the span→word
+        pairing is built from the words that DID tokenize; token-less words
+        get timestamps interpolated between their neighbors and are tagged
+        ``"fallback": True`` (the round-1 version advanced the word index
+        only on separator spans, silently shifting every timestamp after
+        the first such word onto the wrong words).
+        """
+        separator_id = cls._dictionary["|"]
+        words = text.split()
+        tokens: list[int] = []
+        tokened_words: list[int] = []  # word index per token group, in order
+        for i, w in enumerate(words):
+            toks = [
+                cls._dictionary[c] for c in w.upper() if c in cls._dictionary
+            ]
+            if not toks:
+                continue
+            if tokens:
+                tokens.append(separator_id)
+            tokens.extend(toks)
+            tokened_words.append(i)
         if not tokens:
             return []
 
@@ -87,34 +109,50 @@ class ForcedAligner:
         )
         spans = ctc_backtrack(np.asarray(trellis), np.asarray(moved), np.asarray(tokens))
 
-        separator_id = cls._dictionary["|"]
-        words = text.split()
-        word_timestamps: list[dict] = []
+        by_idx: dict[int, dict] = {}
+        group = 0
         cur_start = cur_end = None
-        word_idx = 0
 
-        def flush(start, end, idx):
-            word_timestamps.append(
-                {
+        def flush(start, end):
+            nonlocal group
+            if group < len(tokened_words):
+                idx = tokened_words[group]
+                by_idx[idx] = {
                     "word": words[idx],
                     "start": max(0.0, start * frame_duration - START_OFFSET),
                     "end": max(0.0, end * frame_duration - END_OFFSET),
                 }
-            )
+            group += 1
 
         for token_id, start_f, end_f in spans:
             if token_id == separator_id:
-                if cur_start is not None and cur_end is not None and word_idx < len(words):
-                    flush(cur_start, cur_end, word_idx)
-                    word_idx += 1
+                if cur_start is not None and cur_end is not None:
+                    flush(cur_start, cur_end)
                 cur_start = cur_end = None
             else:
                 if cur_start is None:
                     cur_start = start_f
                 cur_end = end_f
-        if cur_start is not None and cur_end is not None and word_idx < len(words):
-            flush(cur_start, cur_end, word_idx)
-        return word_timestamps
+        if cur_start is not None and cur_end is not None:
+            flush(cur_start, cur_end)
+
+        clip_end = emission.shape[0] * frame_duration
+        out: list[dict] = []
+        for i, w in enumerate(words):
+            if i in by_idx:
+                out.append(by_idx[i])
+            else:
+                prev_end = out[-1]["end"] if out else 0.0
+                next_start = next(
+                    (by_idx[j]["start"] for j in range(i + 1, len(words))
+                     if j in by_idx),
+                    clip_end,
+                )
+                out.append({
+                    "word": w, "start": prev_end,
+                    "end": max(prev_end, next_start), "fallback": True,
+                })
+        return out
 
     @classmethod
     def align(

@@ -219,11 +219,25 @@ class EcapaEmbedder:
         self.trained = True
 
     def embed_windows(self, windows: np.ndarray) -> np.ndarray:
-        """[N, samples] -> [N, embed_dim] L2-normalized embeddings."""
+        """[N, samples] -> [N, embed_dim] L2-normalized embeddings.
+
+        The batch dimension pads to a power-of-2 bucket before the jitted
+        forward: every distinct window count would otherwise compile a
+        fresh XLA graph (clips of varying length each yield a different N —
+        a compile storm dwarfing the compute; same static-shape discipline
+        as processing.bucket_frames)."""
         if windows.shape[0] == 0:
             return np.zeros((0, self.embed_dim), np.float32)
         feats = _speaker_fbank(windows)
-        emb = np.asarray(self._apply(self.params, feats), np.float32)
+        n = feats.shape[0]
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        if bucket != n:
+            feats = np.concatenate(
+                [feats, np.zeros((bucket - n,) + feats.shape[1:], feats.dtype)]
+            )
+        emb = np.asarray(self._apply(self.params, feats), np.float32)[:n]
         norm = np.linalg.norm(emb, axis=1, keepdims=True)
         return emb / np.maximum(norm, 1e-8)
 
@@ -429,6 +443,14 @@ class LocalSpeakerDiarizer:
         self, audio: np.ndarray, sample_rate: int = SAMPLE_RATE
     ) -> list[dict]:
         audio = np.asarray(audio, np.float32).reshape(-1)
+        if sample_rate != SAMPLE_RATE:
+            # the ECAPA embedder and _speaker_fbank assume 16 kHz (25 ms
+            # window = 400 samples, mel scale to 8 kHz Nyquist); feeding
+            # other rates silently misscales the features
+            from tiny_audio_tpu.utils.audio_io import resample
+
+            audio = resample(audio, sample_rate, SAMPLE_RATE)
+            sample_rate = SAMPLE_RATE
         duration = len(audio) / sample_rate
 
         decisions = frame_vad(audio, sample_rate)
@@ -543,9 +565,13 @@ class SpeakerDiarizer:
         words: list[dict], segments: list[dict]
     ) -> list[dict]:
         """Word-midpoint containment with closest-segment fallback
-        (reference diarization.py:644-681)."""
+        (reference diarization.py:644-681).
+
+        Every returned word carries a ``speaker`` key — ``None`` when no
+        segments exist (silent-ish clips), so downstream consumers never
+        hit a schema that varies by clip content."""
         if not segments:
-            return words
+            return [dict(w, speaker=None) for w in words]
         out = []
         for word in words:
             mid = (word.get("start", 0.0) + word.get("end", 0.0)) / 2.0

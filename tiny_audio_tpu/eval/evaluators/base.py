@@ -69,6 +69,12 @@ class Evaluator:
             )
         dt = time.time() - t0
         ref_n = self.normalizer.normalize(reference)
+        if not ref_n.strip():
+            # Normalization emptied a raw reference ('mm-hmm', '***', '.'):
+            # align_counts([], hyp) is WER=inf, which would poison
+            # avg_sample_wer and the running-WER checkpoints — skip, like
+            # should_skip_reference does for raw-empty text.
+            return None
         hyp_n = self.normalizer.normalize(prediction)
         counts = align_counts(ref_n.split(), hyp_n.split())
         return EvalResult(
@@ -84,26 +90,38 @@ class Evaluator:
         text_column: str = "text",
         verbose: bool = True,
     ) -> tuple[list[EvalResult], dict]:
-        samples: list[dict] = []
-        for row in dataset:
-            samples.append(row)
-            if num_samples and len(samples) >= num_samples:
-                break
+        import itertools
+
+        # LAZY iteration (the module contract): a streaming HF dataset must
+        # not be materialized up front — decoded waveforms for a full test
+        # set are tens of GB.  The thread pool path submits in bounded
+        # windows for the same reason.
+        rows = iter(dataset)
+        if num_samples:
+            rows = itertools.islice(rows, num_samples)
 
         results: list[EvalResult] = []
         if self.num_workers > 1:
+            window = max(4 * self.num_workers, 16)
+            i = 0
             with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [
-                    pool.submit(self._eval_one, s, text_column) for s in samples
-                ]
-                for i, fut in enumerate(futures, 1):
-                    r = fut.result()
-                    if r is not None:
-                        results.append(r)
-                    if verbose and i % 100 == 0:
-                        self._checkpoint(i, results)
+                while True:
+                    chunk = list(itertools.islice(rows, window))
+                    if not chunk:
+                        break
+                    futures = [
+                        pool.submit(self._eval_one, s, text_column)
+                        for s in chunk
+                    ]
+                    for fut in futures:
+                        i += 1
+                        r = fut.result()
+                        if r is not None:
+                            results.append(r)
+                        if verbose and i % 100 == 0:
+                            self._checkpoint(i, results)
         else:
-            for i, s in enumerate(samples, 1):
+            for i, s in enumerate(rows, 1):
                 r = self._eval_one(s, text_column)
                 if r is not None:
                     results.append(r)

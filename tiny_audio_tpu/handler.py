@@ -62,4 +62,4 @@ class EndpointHandler:
         try:
             return self.pipe(inputs, **parameters)
         except Exception as e:  # serving must not crash on one bad request
-            return {"error": str(e)}
+            return {"error": f"{type(e).__name__}: {e}"}

@@ -29,17 +29,27 @@ import jax.numpy as jnp
 from tiny_audio_tpu.models.layers import MASK_VALUE
 
 BQ = 256          # q rows per program
-VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16 MB limit
+# Checked against the REAL ~16 MB/core VMEM with double-buffering modeled
+# explicitly (below), not a halved hand-wavy budget: the flagship 20-head
+# d64 config must keep heads-per-group 10 (measured fast path), while a
+# 16-head d64 config must reject hg=16 (whose buffered need is ~17 MB).
+VMEM_BUDGET = 15 * 1024 * 1024
 
 
 def _heads_per_group(t_pad: int, d: int, h: int) -> int:
-    """Largest divisor of ``h`` whose K/V/Q/O tiles + score tile fit VMEM."""
+    """Largest divisor of ``h`` whose K/V/Q/O tiles + score tile fit VMEM.
+
+    Blocked operands count TWICE: Mosaic double-buffers input/output blocks
+    for pipelining, so an estimate that ignores it can select a head count
+    that compiles over the real 16 MB limit instead of falling back to the
+    next divisor (e.g. 16 heads x d64 at t_pad 1536 estimated 9.7 MB but
+    needs ~16 MB buffered)."""
     for hg in range(h, 0, -1):
         if h % hg:
             continue
-        kv_bytes = 2 * t_pad * hg * d * 2          # k + v bf16
-        qo_bytes = 2 * BQ * hg * d * 2             # q + out
-        score_bytes = BQ * t_pad * 4 + BQ * t_pad * 2  # fp32 s + bf16 p
+        kv_bytes = 2 * (2 * t_pad * hg * d * 2)        # k + v bf16, 2x buffered
+        qo_bytes = 2 * (2 * BQ * hg * d * 2)           # q + out, 2x buffered
+        score_bytes = BQ * t_pad * 4 + BQ * t_pad * 2  # fp32 s + bf16 p scratch
         if kv_bytes + qo_bytes + score_bytes < VMEM_BUDGET:
             return hg
     return 1

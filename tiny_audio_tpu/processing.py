@@ -30,7 +30,11 @@ def bucket_frames(n_frames: int, buckets: Sequence[int] = DEFAULT_MEL_BUCKETS) -
     for b in buckets:
         if n_frames <= b:
             return b
-    return int(math.ceil(n_frames / buckets[-1]) * buckets[-1])
+    # past the last bucket, CONTINUE its step pattern (a 3100-frame clip
+    # rounds to 3500, not to 6000 — rounding up in whole multiples of the
+    # last bucket nearly doubled mel+encoder compute just past 30 s)
+    step = buckets[-1] - buckets[-2] if len(buckets) > 1 else buckets[-1]
+    return buckets[-1] + int(math.ceil((n_frames - buckets[-1]) / step) * step)
 
 
 class ASRProcessor:

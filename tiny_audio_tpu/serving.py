@@ -25,7 +25,7 @@ import numpy as np
 
 def make_server(
     handler, host: str = "0.0.0.0", port: int = 8000,
-    batcher=None,
+    batcher=None, result_timeout_s: float = 600.0,
 ) -> ThreadingHTTPServer:
     """``handler``: an :class:`~tiny_audio_tpu.handler.EndpointHandler`.
 
@@ -89,12 +89,18 @@ def make_server(
                 limit = int(batcher.pipe.MAX_CHUNK_SECONDS * 16000)
                 if audio is not None and len(audio) <= limit:
                     try:
+                        # generous timeout: an unwarmed batch-bucket shape
+                        # compiles for minutes on first hit, and
+                        # futures.TimeoutError str()s to "" — the original
+                        # symptom was opaque 500 {"error": ""} responses
                         text = batcher.submit(
                             audio, params.get("user_prompt")
-                        ).result(timeout=120)
+                        ).result(timeout=result_timeout_s)
                         self._send(200, {"text": text})
                     except Exception as e:
-                        self._send(500, {"error": str(e)})
+                        self._send(
+                            500, {"error": f"{type(e).__name__}: {e}"}
+                        )
                     return
             with lock:  # serialize TPU work
                 result = handler({"inputs": inputs, "parameters": params})
