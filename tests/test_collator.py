@@ -156,3 +156,48 @@ def test_multitask_collator_sift(rng):
         skip_special_tokens=True,
     )
     assert sup1.strip() == "Sounds like a test."
+
+
+def test_multitask_sift_row_with_empty_text_kept(rng):
+    """Regression: the validity filter judged SIFT rows on the transcript
+    column, dropping samples whose training label (sift_response) was fine."""
+    import jax.numpy as jnp
+
+    cfg = tiny_test_config()
+    proj = create_projector(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+    coll = MultiTaskDataCollator(
+        ByteTokenizer(512), proj, num_mel_bins=cfg.encoder.num_mel_bins,
+        mel_buckets=(100,),
+    )
+    audio = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    batch = coll(
+        [_row(audio, "", task="sift", sift_response="Sounds like speech.")]
+    )
+    assert batch["input_ids"].shape[0] == 1
+    tok = coll.tokenizer
+    sup = tok.decode(
+        [int(t) for t in batch["input_ids"][0][batch["labels"][0] != -100]],
+        skip_special_tokens=True,
+    )
+    assert sup.strip() == "Sounds like speech."
+
+
+def test_multitask_asr_labels_normalized(rng):
+    """Regression: the multitask ASR branch lowercased instead of running
+    normalize_label, so corpus markers survived into supervised output."""
+    import jax.numpy as jnp
+
+    cfg = tiny_test_config()
+    proj = create_projector(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+    coll = MultiTaskDataCollator(
+        ByteTokenizer(512), proj, num_mel_bins=cfg.encoder.num_mel_bins,
+        mel_buckets=(100,),
+    )
+    audio = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    batch = coll([_row(audio, "hello <COMMA> world", task="transcribe")])
+    tok = coll.tokenizer
+    sup = tok.decode(
+        [int(t) for t in batch["input_ids"][0][batch["labels"][0] != -100]],
+        skip_special_tokens=True,
+    )
+    assert sup.strip() == "hello world"

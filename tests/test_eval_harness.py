@@ -428,6 +428,50 @@ class TestHubStaging:
         with pytest.raises(FileNotFoundError):
             stage_artifact(tmp_path)
 
+    def test_artifact_closure_covers_runtime_imports(self):
+        """Every in-package import reachable from the serving entry points
+        must be staged (regression: a hand-kept list missed
+        encoder_attention/wav2vec2/ctc/ecapa/native, so the 'self-contained'
+        artifact crashed at import)."""
+        from tiny_audio_tpu.hub import artifact_modules
+
+        mods = artifact_modules()
+        for required in (
+            "ops/encoder_attention.py", "models/wav2vec2.py", "ops/ctc.py",
+            "models/ecapa.py", "native.py", "ops/fused_decode.py",
+            "ops/decode_attention.py", "batching.py", "serving.py",
+        ):
+            assert required in mods, required
+
+    @pytest.mark.slow
+    def test_staged_artifact_imports_standalone(self, tmp_path):
+        """The REAL contract: the staged package must import with the repo
+        absent from sys.path (subprocess rooted at the artifact)."""
+        import subprocess
+        import sys
+
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.hub import stage_artifact
+        from tiny_audio_tpu.models.asr import ASRModel
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        model.save_pretrained(tmp_path)
+        out = stage_artifact(tmp_path)
+        code = (
+            "import tiny_audio_tpu.pipeline, tiny_audio_tpu.serving, "
+            "tiny_audio_tpu.batching, tiny_audio_tpu.alignment, "
+            "tiny_audio_tpu.diarization, tiny_audio_tpu.handler; "
+            "print('artifact-ok')"
+        )
+        env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+               "HOME": str(tmp_path)}
+        proc = subprocess.run(
+            [sys.executable, "-c", code], cwd=out, env=env,
+            capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "artifact-ok" in proc.stdout
+
 
 class TestReviewRegressions:
     """Pinned regressions from the round-1 code review."""

@@ -216,10 +216,16 @@ def _main_from_args(args) -> int:
 
 
 def main(argv=None) -> int:
+    import sys
+
     parser = argparse.ArgumentParser(prog="ta eval")
     sub = parser.add_subparsers()
     add_eval_parser(sub)
-    args = parser.parse_args(["eval"] + list(argv or []))
+    # argv=None must fall back to the process args (`or` treated an explicit
+    # empty list and None the same, but None previously DROPPED sys.argv —
+    # `python -m tiny_audio_tpu.eval.cli ...` always failed)
+    args_in = list(argv) if argv is not None else sys.argv[1:]
+    args = parser.parse_args(["eval"] + args_in)
     return args.func(args)
 
 

@@ -115,7 +115,9 @@ class EndpointEvaluator(Evaluator):
         )
         resp.raise_for_status()
         body = resp.json()
-        return body.get("text", body if isinstance(body, str) else "")
+        if isinstance(body, str):  # endpoints may return a bare JSON string
+            return body
+        return body.get("text", "") if isinstance(body, dict) else ""
 
 
 class AssemblyAIEvaluator(Evaluator):

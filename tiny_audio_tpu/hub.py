@@ -10,14 +10,17 @@ credentials — this build environment has zero egress).
 
 from __future__ import annotations
 
+import re
 import shutil
 from pathlib import Path
 from typing import Optional
 
-# Source modules a consumer needs to run the checkpoint standalone
-# (the reference copies asr_*.py/projectors/alignment/diarization,
-# asr_modeling.py:843-852)
-ARTIFACT_MODULES = [
+# Serving-surface entry points a consumer calls directly; every module they
+# (transitively) import ships too — a hand-maintained list silently broke
+# the artifact whenever a staged file grew an import (encoder_attention,
+# wav2vec2/ctc, ecapa/native were all missing at one point, so transcription
+# crashed on TPU and timestamps/speakers failed at import).
+ARTIFACT_ENTRYPOINTS = [
     "config.py",
     "generation.py",
     "pipeline.py",
@@ -25,15 +28,70 @@ ARTIFACT_MODULES = [
     "tokenization.py",
     "alignment.py",
     "diarization.py",
+    "handler.py",
+    "serving.py",
+    "batching.py",
     "models/asr.py",
-    "models/decoder.py",
-    "models/encoder.py",
-    "models/layers.py",
-    "models/projectors.py",
-    "ops/attention.py",
-    "ops/mel.py",
-    "utils/audio_io.py",
 ]
+
+_IMPORT_DOTTED = re.compile(
+    r"^\s*(?:from|import)\s+tiny_audio_tpu\.([A-Za-z0-9_.]+)", re.M
+)
+# `from tiny_audio_tpu[.sub] import a, b` — each name may itself be a
+# submodule (e.g. `from tiny_audio_tpu.ops import mel`).  Single-line and
+# parenthesized multi-line forms matched separately (a greedy \s-class
+# here once swallowed following lines and silently dropped `native`).
+_IMPORT_FROM = re.compile(
+    r"^\s*from\s+tiny_audio_tpu((?:\.[A-Za-z0-9_.]+)?)\s+import\s+"
+    r"([A-Za-z0-9_, \t]+)$",
+    re.M,
+)
+_IMPORT_FROM_PAREN = re.compile(
+    r"^\s*from\s+tiny_audio_tpu((?:\.[A-Za-z0-9_.]+)?)\s+import\s+"
+    r"\(([^)]*)\)",
+    re.M | re.S,
+)
+
+
+def _files_for_module(pkg_root: Path, mod: str) -> list[str]:
+    rel = mod.replace(".", "/")
+    if (pkg_root / (rel + ".py")).is_file():
+        return [rel + ".py"]
+    if (pkg_root / rel).is_dir():
+        return [rel + "/__init__.py"]
+    return []
+
+
+def artifact_modules() -> list[str]:
+    """Transitive closure of in-package imports from the entry points."""
+    pkg_root = Path(__file__).resolve().parent
+    seen: set[str] = set()
+    queue = list(ARTIFACT_ENTRYPOINTS)
+    while queue:
+        rel = queue.pop()
+        if rel in seen or not (pkg_root / rel).is_file():
+            continue
+        seen.add(rel)
+        src = (pkg_root / rel).read_text()
+        mods: list[str] = []
+        for m in _IMPORT_DOTTED.finditer(src):
+            parts = m.group(1).split(".")
+            for depth in range(1, len(parts) + 1):
+                mods.append(".".join(parts[:depth]))
+        for pat in (_IMPORT_FROM, _IMPORT_FROM_PAREN):
+            for m in pat.finditer(src):
+                base = m.group(1).lstrip(".")
+                for name in m.group(2).split(","):
+                    name = name.strip()
+                    if name:
+                        # the imported name may be a symbol OR a submodule
+                        # — queue both interpretations; non-files drop out
+                        mods.append(f"{base}.{name}" if base else name)
+        for mod in mods:
+            for f in _files_for_module(pkg_root, mod):
+                if f not in seen:
+                    queue.append(f)
+    return sorted(seen)
 
 GITATTRIBUTES = """*.msgpack filter=lfs diff=lfs merge=lfs -text
 *.safetensors filter=lfs diff=lfs merge=lfs -text
@@ -52,12 +110,13 @@ def stage_artifact(
         raise FileNotFoundError(f"{ckpt} is not a checkpoint (no config.json)")
     pkg_root = Path(__file__).resolve().parent
     code_dir = ckpt / "tiny_audio_tpu"
-    for rel in ARTIFACT_MODULES:
+    for rel in artifact_modules():
         src = pkg_root / rel
         dst = code_dir / rel
         dst.parent.mkdir(parents=True, exist_ok=True)
         shutil.copy2(src, dst)
-        # package markers
+        # package markers (only where the real package has a bare one;
+        # real __init__.py files are staged via the closure itself)
         for parent in [dst.parent, code_dir]:
             init = parent / "__init__.py"
             if not init.exists():

@@ -148,8 +148,12 @@ def log_mel_spectrogram(audio: jax.Array, num_mel_bins: int = 128) -> jax.Array:
     n_frames = n_samples // HOP_LENGTH
 
     # center=True reflect padding of n_fft // 2 on both sides, plus trailing
-    # zeros so the chunk view covers frame starts up to (n_frames-1)*hop
-    padded = jnp.pad(audio, ((0, 0), (N_FFT // 2, N_FFT // 2)), mode="reflect")
+    # zeros so the chunk view covers frame starts up to (n_frames-1)*hop.
+    # Reflect needs pad < length; inputs shorter than N_FFT//2+1 samples
+    # (sub-13 ms — degenerate, but reachable by direct callers) fall back to
+    # zero padding instead of raising from inside jnp.pad.
+    pad_mode = "reflect" if n_samples > N_FFT // 2 else "constant"
+    padded = jnp.pad(audio, ((0, 0), (N_FFT // 2, N_FFT // 2)), mode=pad_mode)
     tail = (n_frames + FRAME_CHUNKS) * HOP_LENGTH - padded.shape[1]
     if tail > 0:
         padded = jnp.pad(padded, ((0, 0), (0, tail)))

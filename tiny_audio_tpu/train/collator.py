@@ -139,7 +139,14 @@ class DataCollator:
                 # Silence-injected rows legitimately carry an empty label
                 # (augmentation.py sets the flag); everything else with an
                 # empty normalized label is an annotation-marker-only row.
-                if not normalize_label(f.get("text") or "") and not f.get("silence"):
+                # SIFT rows train on sift_response, so judge THAT text —
+                # gating them on the (possibly empty) transcript column
+                # silently dropped valid SIFT samples.
+                if f.get("task") == "sift":
+                    label_src = f.get("sift_response") or f.get("text") or ""
+                    if not label_src.strip():
+                        continue
+                elif not normalize_label(f.get("text") or "") and not f.get("silence"):
                     continue
                 if audio.size / self.sample_rate > MAX_AUDIO_SECONDS:
                     continue
@@ -214,7 +221,10 @@ class MultiTaskDataCollator(DataCollator):
             response = (feature.get("sift_response") or feature.get("text") or "").strip()
             prompt = str(self.rng.choice(DESCRIBE_PROMPTS))
         else:
-            response = (feature.get("text") or "").strip().lower()
+            # full normalize_label, not bare lowercase: corpus markers
+            # (<comma>, TEDLIUM brackets) must not become supervised output
+            # in multitask runs any more than in the base collator
+            response = normalize_label(feature.get("text") or "")
             prompt = str(self.rng.choice(TRANSCRIBE_PROMPTS))
         return self.processor.build_messages(
             num_audio_tokens, text=response, system_prompt=self.system_prompt,
