@@ -58,7 +58,10 @@ static int wav_parse(const uint8_t* bytes, int64_t n, int64_t* frames,
         pos += 8 + size + (size & 1);  // chunks are word-aligned
         if (have_fmt && have_data) break;
     }
-    if (!have_fmt || !have_data || *channels <= 0 || *bits <= 0) return -2;
+    // bits < 8 (e.g. 4-bit IMA-ADPCM) would make the bytes-per-frame term
+    // zero — integer division by zero is a SIGFPE process kill, not an
+    // exception, so reject here and let the caller's stdlib path handle it
+    if (!have_fmt || !have_data || *channels <= 0 || *bits < 8) return -2;
     *frames = *data_size / ((*bits / 8) * *channels);
     return 0;
 }
@@ -125,7 +128,12 @@ int64_t ta_resample(const float* in, int64_t n, int32_t orig_rate,
         return n;
     }
     const double ratio = (double)target_rate / orig_rate;
-    const int64_t out_len = (int64_t)std::ceil(n * ratio);
+    // EXACT integer ceil — the float form ceil(n * (target/orig)) can round
+    // one above the Python wrapper's allocation (n=147 at 44100->24000:
+    // 81 vs 80), writing past the numpy buffer.  native.py uses the same
+    // integer formula.
+    const int64_t out_len =
+        ((int64_t)n * target_rate + orig_rate - 1) / orig_rate;
     const int TAPS = 16;
     // low-pass cutoff at the smaller Nyquist
     const double cutoff = std::min(1.0, ratio) * 0.95;
@@ -144,7 +152,7 @@ int64_t ta_resample(const float* in, int64_t n, int32_t orig_rate,
             acc += coeff * in[idx];
             wsum += coeff;
         }
-        out[j] = (float)(wsum != 0.0 ? acc * (cutoff / wsum) * (1.0 / cutoff) : 0.0);
+        out[j] = (float)(wsum != 0.0 ? acc / wsum : 0.0);
     }
     return out_len;
 }

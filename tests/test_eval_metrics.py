@@ -104,3 +104,14 @@ class TestSpellingMap:
 
         n = TextNormalizer()
         assert n("The colour of the theatre") == "the color of the theater"
+
+
+def test_corpus_wer_length_mismatch_raises():
+    """Regression: zip silently truncated, under-reporting WER when a
+    hypothesis went missing."""
+    import pytest
+
+    from tiny_audio_tpu.eval.wer import corpus_wer
+
+    with pytest.raises(ValueError, match="2 references vs 1"):
+        corpus_wer(["a b", "c d"], ["a b"])

@@ -157,3 +157,40 @@ class TestVadFeatures:
             del os.environ["TA_DISABLE_NATIVE"]
             native._tried = False
         assert (with_native == without).mean() > 0.99
+
+
+def test_resample_length_agreement_rate_pairs():
+    """Regression: C's float ceil produced out_len one above the wrapper's
+    allocation at some rate pairs (147 @ 44100->24000), a heap overwrite."""
+    from tiny_audio_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    for n, orig, target in [(147, 44100, 24000), (294, 44100, 24000),
+                            (161, 22050, 16000), (1000, 8000, 16000)]:
+        audio = np.sin(np.arange(n, dtype=np.float32) * 0.05)
+        out = native.resample(audio, orig, target)
+        assert out is not None
+        assert len(out) == (n * target + orig - 1) // orig
+
+
+def test_wav_decode_rejects_sub_byte_bits():
+    """Regression: a 4-bit (IMA-ADPCM-style) fmt chunk caused integer
+    division by zero in native code — SIGFPE, killing the process."""
+    import struct
+
+    from tiny_audio_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    fmt = struct.pack("<HHIIHH", 17, 1, 8000, 4000, 256, 4)  # bits=4
+    data = b"\x00" * 64
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    assert native.wav_decode(wav) is None  # clean fallback, no crash

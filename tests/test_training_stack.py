@@ -584,3 +584,32 @@ class TestPrefetcherShutdown:
         pf = _Prefetcher(iter(range(5)), depth=2)
         assert list(pf) == [0, 1, 2, 3, 4]
         pf.close()
+
+
+class TestOverridePrecedence:
+    def test_dotted_override_wins_over_experiment_regardless_of_order(self, tmp_path):
+        """Hydra contract: CLI dotted overrides beat experiment overlays
+        even when typed BEFORE `+experiments=` (regression: token-order
+        application silently clobbered them)."""
+        (tmp_path / "experiments").mkdir()
+        (tmp_path / "config.yaml").write_text(
+            "model:\n  lr: 1\ntraining:\n  max_steps: 10\n"
+        )
+        (tmp_path / "experiments" / "big.yaml").write_text(
+            "training:\n  max_steps: 50000\n"
+        )
+        cfg = load_config(
+            tmp_path, ["training.max_steps=100", "+experiments=big"]
+        )
+        assert cfg["training"]["max_steps"] == 100
+        cfg = load_config(
+            tmp_path, ["+experiments=big", "training.max_steps=100"]
+        )
+        assert cfg["training"]["max_steps"] == 100
+
+    def test_dotted_override_wins_over_group_swap(self, tmp_path):
+        (tmp_path / "data").mkdir()
+        (tmp_path / "config.yaml").write_text("data:\n  x: 1\n")
+        (tmp_path / "data" / "alt.yaml").write_text("x: 2\ny: 3\n")
+        cfg = load_config(tmp_path, ["data.x=9", "data=alt"])
+        assert cfg["data"]["x"] == 9 and cfg["data"]["y"] == 3

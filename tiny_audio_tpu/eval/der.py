@@ -83,11 +83,10 @@ def diarization_error_rate(
 
     rows, cols = linear_sum_assignment(-overlap)
     mapped_hyp = np.zeros_like(ref)
-    matched_hyp_idx = set()
     for r, c in zip(rows, cols):
         mapped_hyp[r] = hyp[c]
-        matched_hyp_idx.add(c)
-    unmatched = [i for i in range(hyp.shape[0]) if i not in matched_hyp_idx]
+    # unmatched hypothesis speakers need no separate accounting: their
+    # speech shows up in the n_hyp - n_ref false-alarm cell counts below
 
     n_ref = ref.sum(axis=0)  # speakers active per cell (no-overlap data: 0/1)
     n_hyp = hyp.sum(axis=0)

@@ -56,9 +56,13 @@ class TextNormalizer:
             EnglishTextNormalizer,
         )
 
-        from tiny_audio_tpu.eval.spelling import load_spelling_map
+        try:
+            from tiny_audio_tpu.eval.spelling import load_spelling_map
 
-        self._whisper = EnglishTextNormalizer(load_spelling_map(spelling_path))
+            spelling = load_spelling_map(spelling_path)
+        except ImportError:  # last resort: the built-in ~50-pair subset
+            spelling = dict(_SPELLING)
+        self._whisper = EnglishTextNormalizer(spelling)
 
     def normalize(self, text: str) -> str:
         out = self._whisper(text or "")

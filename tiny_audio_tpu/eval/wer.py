@@ -81,6 +81,12 @@ def wer(reference: str, hypothesis: str) -> float:
 
 def corpus_wer(references: Sequence[str], hypotheses: Sequence[str]) -> float:
     """Corpus WER: total errors / total reference words (jiwer semantics)."""
+    if len(references) != len(hypotheses):
+        # a silent zip-truncation here under-reports WER (a dropped
+        # hypothesis should surface, not erase its reference)
+        raise ValueError(
+            f"{len(references)} references vs {len(hypotheses)} hypotheses"
+        )
     total = WerCounts()
     for ref, hyp in zip(references, hypotheses):
         total = total + align_counts(ref.split(), hyp.split())

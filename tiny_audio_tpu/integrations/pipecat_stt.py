@@ -67,22 +67,51 @@ class TinyAudioSTTService(SegmentedSTTService):  # type: ignore[misc]
         return self._pipe
 
     async def run_stt(self, audio: bytes) -> "AsyncGenerator[Frame, None]":
+        # All blocking work (model load + jit compile + generation) runs off
+        # the event loop: doing it inline froze the whole pipecat pipeline
+        # (audio transport, VAD) for seconds on first use and per token
+        # after.  Streaming runs the generator on a thread feeding an
+        # asyncio queue so interim frames are delivered in real time.
+        import asyncio
+        import threading
+
         try:
-            pipe = self._ensure_model()
+            pipe = await asyncio.to_thread(self._ensure_model)
             waveform = pcm16_to_float32(audio)
             if self._streaming:
-                feats = pipe.processor.extract_features(waveform)
+                loop = asyncio.get_running_loop()
+                q: asyncio.Queue = asyncio.Queue()
+                done = object()
+
+                def produce():
+                    try:
+                        feats = pipe.processor.extract_features(waveform)
+                        for fragment in pipe.model.generate_streaming(
+                            feats["input_features"],
+                            feats["audio_attention_mask"],
+                        ):
+                            loop.call_soon_threadsafe(q.put_nowait, fragment)
+                    except BaseException as e:
+                        loop.call_soon_threadsafe(q.put_nowait, e)
+                    finally:
+                        loop.call_soon_threadsafe(q.put_nowait, done)
+
+                threading.Thread(target=produce, daemon=True).start()
                 parts: list[str] = []
-                for fragment in pipe.model.generate_streaming(
-                    feats["input_features"], feats["audio_attention_mask"]
-                ):
-                    parts.append(fragment)
+                while True:
+                    item = await q.get()
+                    if item is done:
+                        break
+                    if isinstance(item, BaseException):
+                        raise item
+                    parts.append(item)
                     yield InterimTranscriptionFrame(
                         "".join(parts).strip(), "", time_now_iso8601()
                     )
                 text = "".join(parts).strip()
             else:
-                text = pipe(waveform)["text"]
+                result = await asyncio.to_thread(pipe, waveform)
+                text = result["text"]
             if text:
                 yield TranscriptionFrame(text, "", time_now_iso8601())
         except Exception as e:  # pragma: no cover

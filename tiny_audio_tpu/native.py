@@ -40,14 +40,21 @@ def _build() -> bool:
     if not src.exists():
         return False
     _LIB_PATH.parent.mkdir(parents=True, exist_ok=True)
+    # compile to a per-process temp path and atomically rename: concurrent
+    # processes (dataloader workers) building simultaneously must never let
+    # a third process CDLL a half-written .so (which latches that process
+    # onto the numpy fallback for its lifetime)
+    tmp = _LIB_PATH.with_suffix(f".so.tmp{os.getpid()}")
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-             str(src), "-o", str(_LIB_PATH)],
+             str(src), "-o", str(tmp)],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
+        tmp.unlink(missing_ok=True)
         return False
 
 
@@ -127,10 +134,13 @@ def resample(audio: np.ndarray, orig_rate: int, target_rate: int) -> Optional[np
     if lib is None:
         return None
     audio = np.ascontiguousarray(audio, np.float32)
-    out_len = int(np.ceil(len(audio) * target_rate / orig_rate))
+    # EXACT integer ceil, matching ta_resample's out_len formula — float
+    # ceil disagreed by one at some rate pairs, and C writing one element
+    # past this buffer is silent heap corruption
+    out_len = (len(audio) * target_rate + orig_rate - 1) // orig_rate
     out = np.empty(max(out_len, 1), np.float32)
     n = lib.ta_resample(audio, len(audio), orig_rate, target_rate, out)
-    if n < 0:
+    if n < 0 or n > out.size:
         return None
     return out[:n]
 

@@ -72,24 +72,44 @@ def load_config(
         cfg = deep_merge(cfg, {group: _load_yaml(group_file)})
     cfg = deep_merge(cfg, base)  # config.yaml body wins over group defaults
 
+    # Hydra precedence, independent of CLI argument order: experiment
+    # overlays and group swaps apply FIRST, dotted key overrides LAST —
+    # `training.max_steps=100 +experiments=transcription` must keep the
+    # user's 100, not the experiment file's value (token-order application
+    # silently clobbered overrides placed before the overlay).
+    parsed = []
     for token in overrides or []:
         if "=" not in token:
             raise ValueError(f"override must be key=value, got {token!r}")
         key, _, raw = token.partition("=")
         value = yaml.safe_load(raw) if raw != "" else None
+        parsed.append((key, value))
+
+    for key, value in parsed:  # pass 1: overlays + group swaps
         if key.startswith("+experiments"):
             exp_file = config_dir / "experiments" / f"{value}.yaml"
             cfg = deep_merge(cfg, _load_yaml(exp_file))
-        elif key.startswith("+"):
-            set_dotted(cfg, key[1:], value)
         elif (
-            "." not in key
+            not key.startswith("+")
+            and "." not in key
             and isinstance(value, str)
             and (config_dir / key / f"{value}.yaml").is_file()
         ):
             # Hydra-style config-group swap (`data=loquacious`,
             # `training=production`): replace the whole group with that file
             cfg[key] = _load_yaml(config_dir / key / f"{value}.yaml")
+
+    for key, value in parsed:  # pass 2: dotted/scalar overrides win
+        if key.startswith("+experiments"):
+            continue
+        if key.startswith("+"):
+            set_dotted(cfg, key[1:], value)
+        elif (
+            "." not in key
+            and isinstance(value, str)
+            and (config_dir / key / f"{value}.yaml").is_file()
+        ):
+            continue  # handled in pass 1
         else:
             set_dotted(cfg, key, value)
     return cfg
