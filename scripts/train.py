@@ -135,15 +135,15 @@ def main(argv=None) -> dict:
     print(f"[train] {len(train_rows)} train rows, "
           f"{len(eval_rows) if eval_rows else 0} eval rows")
 
-    # Exact multitask detection: the data config declares tasks, or ANY row
-    # carries one (a 64-row shuffled sample missed small task minorities
+    # Exact multitask detection via spec metadata — no row walk, no audio
+    # decode (a 64-row shuffled sample once missed small task minorities
     # ~half the time, silently training sift rows with the transcribe
-    # prompt).  The full scan is dict lookups only — no audio decode.
+    # prompt)
     data_cfg = cfg.get("data") or {}
     multitask = any(
         ds.get("task") for ds in data_cfg.get("datasets", [])
         if isinstance(ds, dict)
-    ) or any(r.get("task") for r in train_rows)
+    ) or getattr(train_rows, "has_tasks", False)
     collator_cls = MultiTaskDataCollator if multitask else DataCollator
     collator = collator_cls(
         model.tokenizer,

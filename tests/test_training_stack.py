@@ -252,12 +252,11 @@ class TestDatasetLoader:
             {"audio": {"array": np.zeros(10)}, "text": "keep me"},
             {"audio": {"array": np.zeros(10)}, "text": "ignore_time_segment_in_scoring"},
         ]
-        spec_rows = loader._load_one.__wrapped__ if hasattr(loader._load_one, "__wrapped__") else None
-        # go through the public path with a stub
-        from tiny_audio_tpu.train.data import DatasetSpec
+        # go through the public path with a stub (rows resolve lazily now)
+        from tiny_audio_tpu.train.data import DatasetSpec, LazyRows
 
         loader._load_hf = lambda spec: rows  # type: ignore[assignment]
-        out = loader._load_one(DatasetSpec(path="stub"))
+        out = LazyRows(loader._load_one(DatasetSpec(path="stub")))
         assert [r["text"] for r in out] == ["keep me"]
 
 
@@ -613,3 +612,43 @@ class TestOverridePrecedence:
         (tmp_path / "data" / "alt.yaml").write_text("x: 2\ny: 3\n")
         cfg = load_config(tmp_path, ["data.x=9", "data=alt"])
         assert cfg["data"]["x"] == 9 and cfg["data"]["y"] == 3
+
+    def test_loader_is_lazy(self):
+        """Regression: the loader materialized every row (decoding audio)
+        up front; row access must happen only on __getitem__."""
+        from tiny_audio_tpu.train.data import DatasetSpec, LazyRows
+
+        accesses = []
+
+        class FakeHF:
+            def __init__(self, n):
+                self.n = n
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, key):
+                if isinstance(key, str):  # column read: no decode
+                    return [f"text {i}" for i in range(self.n)]
+                accesses.append(key)
+                return {"audio": {"array": np.zeros(4)}, "text": f"text {key}"}
+
+        loader = DatasetLoader({})
+        loader._load_hf = lambda spec: FakeHF(100)  # type: ignore[assignment]
+        out = LazyRows(loader._load_one(DatasetSpec(path="stub")))
+        assert len(out) == 100
+        assert accesses == []  # nothing decoded during load
+        row = out[7]
+        assert row["text"] == "text 7"
+        assert accesses == [7]
+
+    def test_loader_has_tasks_without_decode(self):
+        from tiny_audio_tpu.train.data import DatasetSpec, LazyRows
+
+        loader = DatasetLoader({})
+        items = loader._load_one(
+            DatasetSpec(path="synthetic", num_samples=4, task="sift")
+        )
+        view = LazyRows(items)
+        assert view.has_tasks
+        assert view[0]["task"] == "sift" and view[0]["sift_response"]

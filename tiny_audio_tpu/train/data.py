@@ -92,6 +92,53 @@ def _resample_to_target(rows: list, target: int, seed: int) -> list:
     return [rows[int(i)] for i in idx]
 
 
+class LazyRows:
+    """Map-style sequence over mixed corpora that decodes audio ON ACCESS.
+
+    The round-1 loader materialized every row (decoding each Audio cell to
+    float32) into a Python list before training — ~64 GB for a 100k-clip
+    corpus, where the eval harness deliberately stays lazy for the same
+    reason.  Items are either in-memory dicts (synthetic) or
+    ``(hf_dataset, index, spec)`` references resolved per ``__getitem__``;
+    filtering and target_samples resampling operate on indices + the text
+    column only (HF column access does not decode audio).
+    """
+
+    def __init__(self, items: list):
+        self._items = items
+
+    def __len__(self) -> int:
+        return len(self._items)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return LazyRows(self._items[i])
+        kind, payload = self._items[i]
+        if kind == "row":
+            return payload
+        ds, idx, spec = payload
+        r = ds[int(idx)]
+        text = r.get(spec.text_column)
+        row = {"audio": r.get(spec.audio_column), "text": text}
+        if spec.task:
+            row["task"] = spec.task
+            if spec.task == "sift":
+                row["sift_response"] = r.get("sift_response", text)
+        return row
+
+    @property
+    def has_tasks(self) -> bool:
+        """Any row carries a task tag — WITHOUT decoding audio (the
+        multitask-collator check in scripts/train.py must not walk rows)."""
+        for kind, payload in self._items:
+            if kind == "row":
+                if payload.get("task"):
+                    return True
+            elif payload[2].task:
+                return True
+        return False
+
+
 class DatasetLoader:
     """Load + mix the corpora described by a data config dict."""
 
@@ -99,28 +146,34 @@ class DatasetLoader:
         self.cfg = data_cfg or {}
         self.seed = seed
 
-    def _load_one(self, spec: DatasetSpec) -> list[dict]:
+    def _load_one(self, spec: DatasetSpec) -> list:
+        """Returns LazyRows ITEMS (not rows — see LazyRows)."""
         if spec.path == "synthetic":
             rows = synthetic_dataset(spec.num_samples, seed=self.seed)
-        else:
-            rows = self._load_hf(spec)
-        out = []
-        for r in rows:
-            text = r.get(spec.text_column)
-            if _is_tedlium_ignored(text):
-                continue
-            row = {
-                "audio": r.get(spec.audio_column),
-                "text": text,
-            }
             if spec.task:
-                row["task"] = spec.task
-                if spec.task == "sift":
-                    row["sift_response"] = r.get("sift_response", text)
-            out.append(row)
+                for r in rows:
+                    r["task"] = spec.task
+                    if spec.task == "sift":
+                        r.setdefault("sift_response", r.get("text"))
+            items = [("row", r) for r in rows
+                     if not _is_tedlium_ignored(r.get("text"))]
+        else:
+            ds = self._load_hf(spec)
+            try:  # text-only column read: no audio decode
+                texts = ds[spec.text_column]
+            except Exception:
+                try:  # list-like sources (tests, adapters): per-row dicts
+                    texts = [r.get(spec.text_column) for r in ds]
+                except Exception:
+                    texts = [None] * len(ds)
+            items = [
+                ("hf", (ds, i, spec)) for i, t in enumerate(texts)
+                if not _is_tedlium_ignored(t)
+            ]
         if spec.target_samples:
-            out = _resample_to_target(out, int(spec.target_samples), self.seed)
-        return out
+            items = _resample_to_target(items, int(spec.target_samples),
+                                        self.seed)
+        return items
 
     def _load_hf(self, spec: DatasetSpec) -> Any:
         import datasets as hfd
@@ -145,23 +198,23 @@ class DatasetLoader:
             pass
         return ds
 
-    def load(self) -> tuple[list[dict], Optional[list[dict]]]:
-        """Returns (train_rows, eval_rows-or-None)."""
+    def load(self) -> tuple[LazyRows, Optional[LazyRows]]:
+        """Returns (train_rows, eval_rows-or-None) as lazy sequences."""
         rng = np.random.default_rng(self.seed)
         specs = [DatasetSpec.from_dict(d) for d in self.cfg.get("datasets", [])]
         if not specs:
             specs = [DatasetSpec(path="synthetic")]
-        train: list[dict] = []
+        items: list = []
         for spec in specs:
-            train.extend(self._load_one(spec))
-        order = rng.permutation(len(train))
-        train = [train[int(i)] for i in order]
+            items.extend(self._load_one(spec))
+        order = rng.permutation(len(items))
+        train = LazyRows([items[int(i)] for i in order])
 
-        eval_rows: Optional[list[dict]] = None
+        eval_rows: Optional[LazyRows] = None
         eval_cfg = self.cfg.get("eval")
         if eval_cfg:
             spec = DatasetSpec.from_dict(eval_cfg)
-            eval_rows = self._load_one(spec)
+            eval_rows = LazyRows(self._load_one(spec))
             cap = eval_cfg.get("max_samples")
             if cap:
                 eval_rows = eval_rows[: int(cap)]
