@@ -503,3 +503,68 @@ class TestReviewRegressions:
         )
         assert "counts" in results[0].extra
         assert metrics["corpus_wer"] == 0.0
+
+
+class TestReviewRegressions2:
+    """Pinned regressions from the round-2 periphery review."""
+
+    def test_gender_substring_not_matched(self):
+        from tiny_audio_tpu.eval.evaluators.classification import extract_classes
+
+        # 'male' inside 'female' (and 'he' inside 'the') must not hit
+        assert extract_classes("The speaker is female", "gender") == {"female"}
+        assert extract_classes("it is a male voice", "gender") == {"male"}
+
+    def test_canonicalize_containment(self):
+        from tiny_audio_tpu.eval.evaluators.classification import canonicalize
+
+        assert canonicalize("United States English", "accent") == "american"
+        assert canonicalize("male_masculine", "gender") == "male"
+        assert canonicalize("England English", "accent") == "british"
+
+    def test_mcq_article_prefix_not_letter_answer(self):
+        from tiny_audio_tpu.eval.evaluators.mcq import match_choice
+
+        choices = ["dog barking", "flute music", "rain", "engine"]
+        assert match_choice("A flute is playing", choices) == 1
+        assert match_choice("A", choices) == 0          # bare letter
+        assert match_choice("(B) flute music", choices) == 1
+        assert match_choice("B.", choices) == 1
+
+    def test_mcq_gold_resolution(self):
+        from tiny_audio_tpu.eval.evaluators.mcq import resolve_gold_index
+
+        choices = ["dog barking", "flute music", "rain", "engine"]
+        assert resolve_gold_index("flute music", choices) == 1
+        assert resolve_gold_index("Flute Music.", choices) == 1
+        assert resolve_gold_index("B", choices) == 1
+        assert resolve_gold_index("2", choices) == 2
+        assert resolve_gold_index("not a choice", choices) is None
+
+    def test_entity_presence_word_boundary(self):
+        from tiny_audio_tpu.analysis import extract_entities
+
+        # bare 'am'/'may' are not entities
+        assert extract_entities("i am going and you may go") == []
+        assert ("TIME", "8 am") in extract_entities("see you at 8 am")
+        assert any(l == "DATE" for l, _ in extract_entities("may 5 deadline"))
+
+    def test_wav2vec2_hf_vocab_remap(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tiny_audio_tpu.models.wav2vec2 import (
+            CTC_LABELS, _HF_960H_VOCAB, _remap_ctc_head,
+        )
+
+        # bias whose value IS its HF index -> after remap, position j must
+        # hold the HF index of CTC_LABELS[j]
+        bias = jnp.arange(len(_HF_960H_VOCAB), dtype=jnp.float32)
+        out = np.asarray(_remap_ctc_head(bias, axis=0))
+        hf_index = {t: i for i, t in enumerate(_HF_960H_VOCAB)}
+        for j, lab in enumerate(CTC_LABELS):
+            assert out[j] == hf_index["<pad>" if lab == "-" else lab]
+        # 29-wide (torchaudio layout) passes through untouched
+        b29 = jnp.arange(len(CTC_LABELS), dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(_remap_ctc_head(b29, 0)),
+                                      np.asarray(b29))

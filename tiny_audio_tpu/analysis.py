@@ -78,11 +78,18 @@ _ENTITY_PATTERNS = {
     "MONEY": re.compile(r"(\$\s?\d[\d,.]*|\b(dollars?|cents?|euros?|pounds?)\b)"),
     "PERCENT": re.compile(r"(\d+(?:\.\d+)?\s?%|\bpercent\b)"),
     "DATE": re.compile(
-        r"\b(january|february|march|april|may|june|july|august|september|"
+        # 'may' only with digit adjacency — the bare modal verb flooded the
+        # triage with false positives on ordinary English
+        r"\b(january|february|march|april|june|july|august|september|"
         r"october|november|december|monday|tuesday|wednesday|thursday|"
-        r"friday|saturday|sunday|\d{4}s?)\b"
+        r"friday|saturday|sunday|\d{4}s?|may\s+\d+|\d+\s+may)\b"
     ),
-    "TIME": re.compile(r"\b(\d{1,2}:\d{2}|o'?clock|noon|midnight|[ap]\.?m\.?)\b"),
+    # am/pm require a preceding number ('8 am', '8:30am') — a bare \b[ap]m\b
+    # tagged the verb 'am' as a TIME entity
+    "TIME": re.compile(
+        r"\b(\d{1,2}:\d{2}\s*(?:[ap]\.?m\.?)?|\d{1,2}\s*[ap]\.?m\.?"
+        r"|o'?clock|noon|midnight)\b"
+    ),
 }
 
 
@@ -104,7 +111,13 @@ def entity_errors(results_path) -> list[dict]:
         if not gt_entities:
             continue
         pred = s["prediction"].lower()
-        missing = [(lb, sp) for lb, sp in gt_entities if sp not in pred]
+        # word-boundary presence: plain substring counted 'ten' inside
+        # 'often' as present, hiding exactly the dropped-number errors
+        # this triage exists to surface
+        missing = [
+            (lb, sp) for lb, sp in gt_entities
+            if not re.search(rf"\b{re.escape(sp)}\b", pred)
+        ]
         if missing:
             rows.append({**s, "missing_entities": missing})
     return rows

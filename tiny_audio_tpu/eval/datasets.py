@@ -110,7 +110,18 @@ DATASET_REGISTRY: dict[str, DatasetConfig] = {
 # "all" expansion groups (reference cli.py:419-442)
 ALL_GROUPS = {
     "all": ["loquacious-small", "librispeech", "ami", "tedlium"],
-    "all-full": [d.name for d in _ASR if d.path != "synthetic"],
+    # dedup by source: 'loquacious' and 'loquacious-small' alias the same
+    # (path, config, split) — listing both evaluated that corpus twice and
+    # double-weighted it in aggregates
+    "all-full": [
+        d.name
+        for i, d in enumerate(_ASR)
+        if d.path != "synthetic"
+        and all(
+            (d.path, d.config, d.split) != (p.path, p.config, p.split)
+            for p in _ASR[:i]
+        )
+    ],
 }
 
 

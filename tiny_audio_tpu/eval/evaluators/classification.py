@@ -9,6 +9,7 @@ the predicted class set.
 
 from __future__ import annotations
 
+import re
 import time
 from typing import Iterable, Optional
 
@@ -75,22 +76,41 @@ TASK_INSTRUCTIONS = {
 }
 
 
+def _contains_word(text: str, needle: str) -> bool:
+    """Whole-word/phrase containment — raw substring matching scored 'male'
+    inside 'female' and 'he' inside 'the' as hits, silently inflating
+    accuracy."""
+    return re.search(rf"\b{re.escape(needle)}\b", text) is not None
+
+
 def canonicalize(label: str, task: str) -> Optional[str]:
-    lab = (label or "").strip().lower()
+    """Map a dataset label to its canonical class.
+
+    Labels are matched by word-boundary CONTAINMENT, not equality: Common
+    Voice stores 'United States English' / 'male_masculine', which never
+    equal any canonical name — exact matching pinned those tasks' accuracy
+    at 0.  Separators normalize to spaces first so '_'-joined labels match.
+    """
+    lab = re.sub(r"[_\-/]+", " ", (label or "").strip().lower())
     classes = TASK_CLASSES.get(task, {})
     for canon, syns in classes.items():
         if lab == canon or lab in syns:
             return canon
+    for canon, syns in classes.items():
+        for needle in [canon] + syns:
+            if _contains_word(lab, needle):
+                return canon
     return lab or None
 
 
 def extract_classes(prediction: str, task: str) -> set[str]:
-    """All canonical classes whose name or any synonym appears in the text."""
+    """All canonical classes whose name or any synonym appears in the text
+    (whole-word matches only)."""
     text = (prediction or "").lower()
     found = set()
     for canon, syns in TASK_CLASSES.get(task, {}).items():
         for needle in [canon] + syns:
-            if needle in text:
+            if _contains_word(text, needle):
                 found.add(canon)
                 break
     return found

@@ -30,6 +30,26 @@ def build_mcq_prompt(question: str, choices: list[str]) -> str:
     return "\n".join(lines)
 
 
+def resolve_gold_index(answer, choices: list[str]) -> Optional[int]:
+    """Gold answer -> choice index: exact text, normalized (case/strip/
+    trailing-punctuation) text, answer letter ('B'), or numeric index.
+    Exact-only matching silently scored entire datasets 0 when the answer
+    column stored letters or differently-cased text."""
+    if answer in choices:
+        return choices.index(answer)
+    a = str(answer).strip()
+    if a.isdigit():
+        idx = int(a)
+        return idx if 0 <= idx < len(choices) else None
+    norm = a.lower().rstrip(".")
+    for i, c in enumerate(choices):
+        if norm == c.strip().lower().rstrip("."):
+            return i
+    if len(norm) == 1 and norm.upper() in string.ascii_uppercase[: len(choices)]:
+        return string.ascii_uppercase.index(norm.upper())
+    return None
+
+
 def match_choice(prediction: str, choices: list[str]) -> Optional[int]:
     """Prediction -> choice index (reference mcq.py matching ladder)."""
     pred = (prediction or "").strip()
@@ -42,8 +62,13 @@ def match_choice(prediction: str, choices: list[str]) -> Optional[int]:
     for i, c in enumerate(choices):
         if pred_l == c.strip().lower():
             return i
-    # 2. "(A)" / "A)" / "A." / bare letter prefix
-    m = re.match(r"^\(?([A-Za-z])[\).:\s]", pred + " ")
+    # 2. "(A)" / "A)" / "A." / "A:" / a BARE letter.  The letter must be
+    # the whole answer or carry answer punctuation: accepting letter+space
+    # made every free-text answer starting with the article "A"/"a" map to
+    # choice A before the substring rung could see the real content.
+    if len(pred) == 1 and pred.upper() in letters:
+        return letters.index(pred.upper())
+    m = re.match(r"^\(?([A-Za-z])[\).:]", pred)
     if m and m.group(1).upper() in letters:
         return letters.index(m.group(1).upper())
     # 3. choice text as substring (longest first to avoid nesting) — BEFORE
@@ -53,10 +78,31 @@ def match_choice(prediction: str, choices: list[str]) -> Optional[int]:
     for i in order:
         if choices[i].strip().lower() in pred_l:
             return i
-    # 4. UPPERCASE letter mentioned as a standalone token ("the answer is B")
-    for t in re.findall(r"\b([A-Z])\b", pred):
-        if t in letters:
-            return letters.index(t)
+    # 3.5 distinctive-word overlap: a word appearing in exactly one choice
+    # and in the prediction ("A flute is playing" -> the 'flute music'
+    # choice) — only when it singles out ONE candidate
+    choice_words = [
+        set(re.findall(r"[a-z']+", c.lower())) for c in choices
+    ]
+    candidates = set()
+    for i, words in enumerate(choice_words):
+        others = set().union(*(w for j, w in enumerate(choice_words) if j != i))
+        distinctive = words - others
+        if any(re.search(rf"\b{re.escape(w)}\b", pred_l) for w in distinctive):
+            candidates.add(i)
+    if len(candidates) == 1:
+        return candidates.pop()
+    # 4. UPPERCASE letter as a standalone token ("the answer is B").  'A'
+    # and 'I' are English words — only counted when followed by punctuation
+    # or end-of-string (sentence-initial 'A flute...' must not hit)
+    for m in re.finditer(r"\b([A-Z])\b", pred):
+        t = m.group(1)
+        if t not in letters:
+            continue
+        rest = pred[m.end():].lstrip()
+        if t in ("A", "I") and rest and rest[0].isalnum():
+            continue
+        return letters.index(t)
     return None
 
 
@@ -85,11 +131,14 @@ class MCQEvaluator:
             except Exception as e:
                 prediction, error = "", str(e)
             pred_idx = match_choice(prediction, choices)
-            answer = sample[answer_column]
-            gold_idx = (
-                choices.index(answer) if answer in choices
-                else int(answer) if str(answer).isdigit() else None
-            )
+            gold_idx = resolve_gold_index(sample[answer_column], choices)
+            if gold_idx is None:
+                # an unresolvable gold answer would silently score EVERY
+                # sample wrong — indistinguishable from a bad model
+                raise ValueError(
+                    f"cannot resolve answer {sample[answer_column]!r} "
+                    f"against choices {choices!r}"
+                )
             row = {
                 "prediction": prediction,
                 "pred_idx": pred_idx,

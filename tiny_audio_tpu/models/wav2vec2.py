@@ -174,7 +174,38 @@ def convert_hf_wav2vec2(state_dict: dict, dtype=jnp.float32) -> dict:
             "bias": t(f"{base}.final_layer_norm.bias"),
         }
     p["ctc_head"] = {
-        "kernel": t("lm_head.weight", transpose=True),
-        "bias": t("lm_head.bias"),
+        "kernel": _remap_ctc_head(t("lm_head.weight", transpose=True), axis=1),
+        "bias": _remap_ctc_head(t("lm_head.bias"), axis=0),
     }
     return p
+
+
+# Real HF facebook/wav2vec2-base-960h vocab.json ordering (32 tokens) —
+# letters sit at +3 vs torchaudio's 29-label set because of <s>/</s>/<unk>.
+_HF_960H_VOCAB = (
+    "<pad>", "<s>", "</s>", "<unk>", "|", "E", "T", "A", "O", "N", "I",
+    "H", "S", "R", "D", "L", "U", "M", "W", "C", "F", "G", "Y", "P", "B",
+    "V", "K", "'", "X", "J", "Q", "Z",
+)
+
+
+def _remap_ctc_head(w, axis: int):
+    """Permute a real HF 32-token CTC head into CTC_LABELS order.
+
+    ``ForcedAligner`` indexes logits by the 29-symbol torchaudio ordering
+    (blank '-', then '|', then letters).  Copying a genuine 960h checkpoint
+    head verbatim offset every letter by 3 (<s>/</s>/<unk> slots), so the
+    trellis read <s>/</s> logits for every character and alignments were
+    garbage.  29-wide heads (the torchaudio layout, and the tiny random
+    oracles in tests) pass through unchanged.
+    """
+    if w.shape[axis] == len(CTC_LABELS):
+        return w
+    if w.shape[axis] != len(_HF_960H_VOCAB):
+        raise ValueError(
+            f"unexpected CTC head vocab size {w.shape[axis]}; expected "
+            f"{len(CTC_LABELS)} (torchaudio) or {len(_HF_960H_VOCAB)} (HF 960h)"
+        )
+    hf_index = {tok: i for i, tok in enumerate(_HF_960H_VOCAB)}
+    perm = [hf_index["<pad>" if lab == "-" else lab] for lab in CTC_LABELS]
+    return jnp.take(w, jnp.asarray(perm), axis=axis)

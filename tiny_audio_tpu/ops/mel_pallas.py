@@ -110,8 +110,11 @@ def log_mel_spectrogram_pallas(
     n_tiles = -(-n_frames // TILE_T)
 
     # center=True reflect pad + zeros so every tile's chunk window exists
+    # (same sub-13 ms constant-pad fallback as ops/mel.py — the drop-in
+    # contract must not diverge on the edge case the XLA path guards)
+    pad_mode = "reflect" if n_samples > _mel.N_FFT // 2 else "constant"
     padded = jnp.pad(
-        audio, ((0, 0), (_mel.N_FFT // 2, _mel.N_FFT // 2)), mode="reflect"
+        audio, ((0, 0), (_mel.N_FFT // 2, _mel.N_FFT // 2)), mode=pad_mode
     )
     need = (n_tiles * TILE_T + 2) * CHUNK
     if padded.shape[1] < need:

@@ -69,10 +69,13 @@ class StageTimer:
 
 def block_until_ready_via_host(x) -> None:
     """Force completion including through async-dispatch plugins where
-    ``block_until_ready`` can return early: touch one scalar on the host."""
+    ``block_until_ready`` can return early: touch one scalar on the host.
+
+    EVERY leaf is touched — leaves can come from separate dispatches, and
+    syncing only the first let later kernels still run when a timing
+    measurement stopped (undercounting the stage)."""
     import jax
     import numpy as np
 
-    leaves = jax.tree_util.tree_leaves(x)
-    if leaves:
-        np.asarray(leaves[0].ravel()[0] if hasattr(leaves[0], "ravel") else leaves[0])
+    for leaf in jax.tree_util.tree_leaves(x):
+        np.asarray(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
