@@ -43,8 +43,6 @@ def main() -> None:
     import os
 
     cfg = ASRConfig()
-    # int8 KV-cache serving mode: TA_BENCH_KV=int8 (halves decode-time cache
-    # bandwidth; greedy tokens drift-checked in tests/test_kv_quant.py)
     # Serving mode: int8 KV cache by default (halves decode cache bandwidth;
     # greedy-token agreement vs bf16 pinned in tests/test_kv_quant.py and the
     # quantization error is ~0.4% RMS).  TA_BENCH_KV=bfloat16 reverts.
@@ -142,12 +140,16 @@ def main() -> None:
     # content-dependent (random-weight decodes can open a <think> span and
     # mute fragments for the whole budget).
     from tiny_audio_tpu.generation import stream_generate
+    from tiny_audio_tpu.utils.profiling import block_until_ready_via_host
 
     def first_token_latency():
         f, m = lat_frontend(lat_audio, lat_lengths)
         n_audio = model._num_audio_tokens(lat_frames)
         ids = model.build_prompt_ids(n_audio)
         input_ids = jnp.asarray(np.array(ids, np.int32)[None, :])
+        # the async-dispatched mel front-end must FINISH before the clock
+        # starts, or TTFB silently absorbs front-end compute
+        block_until_ready_via_host((f, m))
         t0 = time.time()
         embeds = model._splice_embeds_jit(model.params, f, m, input_ids)
         for _ in stream_generate(

@@ -57,11 +57,23 @@ class AlignmentEvaluator:
     def sample_deltas(
         self, predicted: list[dict], reference: list[dict]
     ) -> list[float]:
-        pairs = lcs_match(self._norm_words(predicted), self._norm_words(reference))
+        # Words that NORMALIZE to empty (fillers like 'um', bare
+        # punctuation) are excluded before LCS with an index map back to
+        # the originals — '' == '' would otherwise pair an 0.3 s filler
+        # with a 95 s one and poison the median error.
+        def nonempty(words):
+            norm = self._norm_words(words)
+            idx = [i for i, w in enumerate(norm) if w]
+            return [norm[i] for i in idx], idx
+
+        pred_norm, pred_idx = nonempty(predicted)
+        ref_norm, ref_idx = nonempty(reference)
+        pairs = lcs_match(pred_norm, ref_norm)
         deltas = []
         for pi, ri in pairs:
-            deltas.append(abs(predicted[pi]["start"] - reference[ri]["start"]))
-            deltas.append(abs(predicted[pi]["end"] - reference[ri]["end"]))
+            p, r = predicted[pred_idx[pi]], reference[ref_idx[ri]]
+            deltas.append(abs(p["start"] - r["start"]))
+            deltas.append(abs(p["end"] - r["end"]))
         return deltas
 
     def evaluate(

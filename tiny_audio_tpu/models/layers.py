@@ -85,13 +85,19 @@ def attention(
     ) * scale
     if mask is not None:
         m = mask
-        if m.ndim == 4:  # [B, Hq or 1, Tq, Tk]
-            if m.shape[1] == 1:
-                m = m[:, :, None]  # [B,1,1,Tq,Tk]
-            else:
-                m = m.reshape(b, hkv, group, tq, -1)
-        elif m.ndim == 2:  # [B, Tk] padding mask
+        if m.ndim == 2:  # [B, Tk] padding mask
             m = m[:, None, None, None, :]
+        else:
+            # honor the documented contract for EVERY broadcastable shape
+            # ([B,Tq,Tk], [1,Hq,Tq,Tk], ...) — ad-hoc ndim branches silently
+            # mis-aligned axes for shapes outside the common cases
+            if m.ndim == 3:  # [B, Tq, Tk]
+                m = m[:, None]
+            if m.shape[1] == 1:  # head-broadcast: no per-head materialization
+                m = m[:, :, None]  # [B|1, 1, 1, Tq, Tk]
+            else:
+                m = jnp.broadcast_to(m, (b, hq, tq, m.shape[-1]))
+                m = m.reshape(b, hkv, group, tq, -1)
         scores = jnp.where(m, scores, MASK_VALUE)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum(

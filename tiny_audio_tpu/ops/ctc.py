@@ -22,7 +22,7 @@ import numpy as np
 NEG_INF = -1e30
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def ctc_trellis(emission: jax.Array, tokens: jax.Array, blank_id: int = 0):
     """Viterbi trellis + move decisions.
 
@@ -35,7 +35,6 @@ def ctc_trellis(emission: jax.Array, tokens: jax.Array, blank_id: int = 0):
         records whether the best path into (t+1, j) consumed token j-1 at
         frame t.
     """
-    t_frames = emission.shape[0]
     n_tokens = tokens.shape[0]
 
     init = jnp.full((n_tokens + 1,), NEG_INF, jnp.float32).at[0].set(0.0)
@@ -74,6 +73,10 @@ def ctc_backtrack(
         per = t_frames / n_tokens
         return [(int(tokens[i]), i * per, (i + 1) * per) for i in range(n_tokens)]
 
+    # A reachable (T, N) final state always consumes every token on the way
+    # back to t=0 (each backtrack step either moves j down or t down, and
+    # the reachability check above guarantees a full path exists), so every
+    # token_frames[j] is non-empty here.
     token_frames: list[list[int]] = [[] for _ in range(n_tokens)]
     t, j = t_frames, n_tokens
     while t > 0 and j > 0:
@@ -81,14 +84,9 @@ def ctc_backtrack(
             token_frames[j - 1].append(t - 1)
             j -= 1
         t -= 1
-    while j > 0:
-        token_frames[j - 1].append(0)
-        j -= 1
 
     spans: list[tuple[int, float, float]] = []
     for idx, frames in enumerate(token_frames):
-        if not frames:
-            frames = [int(spans[-1][2])] if spans else [0]
         start = float(min(frames))
         end = float(max(frames)) + 1.0
         spans.append((int(tokens[idx]), start, end))

@@ -14,6 +14,7 @@ from dataclasses import dataclass
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from tiny_audio_tpu.config import ASRConfig
@@ -37,10 +38,9 @@ class OptimizerConfig:
     polynomial_power: float = 0.5
 
 
-def _path_str(path) -> str:
-    return "/".join(
-        str(getattr(k, "key", getattr(k, "idx", k))) for k in path
-    )
+# single source of truth — labeling and sharding must render identical
+# path strings for the same tree
+from tiny_audio_tpu.parallel.mesh import _path_str  # noqa: E402
 
 
 def _is_no_decay(path: str) -> bool:
@@ -132,8 +132,15 @@ def build_optimizer(config: ASRConfig, opt: OptimizerConfig, params: dict):
     return tx, labels
 
 
-def make_train_step(model, tx):
-    """A donated, jittable train step closed over the model and optimizer."""
+def make_train_step(model, tx, labels=None):
+    """A donated, jittable train step closed over the model and optimizer.
+
+    ``labels`` (from :func:`build_optimizer`): frozen leaves' gradients are
+    zeroed BEFORE ``tx.update`` so they do not inflate
+    ``clip_by_global_norm``.  compute_loss stop-gradients the towers but
+    not a frozen PROJECTOR, whose real grads would otherwise scale down
+    every trainable (e.g. LoRA) update — and diverge from the accumulation
+    path, which zeroes frozen leaves already."""
 
     def train_step(params, opt_state, batch, rng):
         rng, drop, jit_r = jax.random.split(rng, 3)
@@ -145,6 +152,11 @@ def make_train_step(model, tx):
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if labels is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, lb: jnp.zeros_like(g) if lb == "frozen" else g,
+                grads, labels,
+            )
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

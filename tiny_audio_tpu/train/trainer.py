@@ -341,7 +341,7 @@ class Trainer:
         from tiny_audio_tpu.train.optim import make_train_step
 
         return jax.jit(
-            make_train_step(self.model, self.tx),
+            make_train_step(self.model, self.tx, self.param_labels),
             in_shardings=(self._param_shardings, None, None, None),
             out_shardings=(self._param_shardings, None, None, None, None),
             donate_argnums=(0, 1),
