@@ -51,3 +51,26 @@ class TestShardedInference:
         with mesh:
             got = self._generate(sharded, feats, mask)
         np.testing.assert_array_equal(baseline, got)
+
+    def test_tp2_llama_family_matches(self):
+        """qk_norm=False (Llama/SmolLM2 layout): the sharding rules must
+        hold without the q_norm/k_norm leaves."""
+        import dataclasses
+
+        cfg = tiny_test_config(model_dtype="float32")
+        cfg.decoder = dataclasses.replace(cfg.decoder, qk_norm=False)
+        model = ASRModel(cfg, seed=0)
+        rng = np.random.default_rng(2)
+        feats = rng.standard_normal(
+            (2, cfg.encoder.num_mel_bins, 50)
+        ).astype(np.float32)
+        mask = np.ones((2, 50), np.int32)
+        baseline = self._generate(model, feats, mask)
+
+        mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+        sharded = ASRModel(cfg, seed=0)
+        assert "q_norm" not in sharded.params["decoder"]["layers"]
+        sharded.params = shard_params(model.params, mesh)
+        with mesh:
+            got = self._generate(sharded, feats, mask)
+        np.testing.assert_array_equal(baseline, got)
