@@ -340,6 +340,29 @@ class TestLocalEvalEndToEnd:
         assert args.debug_cmd == "check-moe"
         args = parser.parse_args(["push", "-m", "ckpt"])
         assert args.model == "ckpt"
+        args = parser.parse_args(
+            ["transcribe", "-m", "ckpt", "a.wav", "b.wav", "--timestamps"]
+        )
+        assert args.files == ["a.wav", "b.wav"] and args.timestamps
+
+    def test_cli_transcribe_end_to_end(self, tmp_path):
+        """`ta transcribe` on a saved tiny checkpoint + a real wav file."""
+        from tiny_audio_tpu.cli import build_parser
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.utils.audio_io import write_wav
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        model.save_pretrained(tmp_path / "ckpt")
+        wav = tmp_path / "u.wav"
+        rng = np.random.default_rng(0)
+        write_wav(wav, (rng.standard_normal(8000) * 0.1).astype(np.float32),
+                  16000)
+        parser = build_parser()
+        args = parser.parse_args(
+            ["transcribe", "-m", str(tmp_path / "ckpt"), str(wav), "--json"]
+        )
+        assert args.func(args) == 0
 
 
 class TestDebugTools:

@@ -24,6 +24,18 @@ def build_parser() -> argparse.ArgumentParser:
     add_eval_parser(sub)
     add_analysis_parser(sub)
 
+    # one-shot transcription (the reference's `pipeline(...)(file)` usage)
+    tx = sub.add_parser("transcribe", help="Transcribe audio file(s)")
+    tx.add_argument("-m", "--model", required=True, help="checkpoint dir")
+    tx.add_argument("files", nargs="+", help="wav file path(s)")
+    tx.add_argument("--timestamps", action="store_true",
+                    help="word-level timestamps")
+    tx.add_argument("--speakers", action="store_true", help="diarization")
+    tx.add_argument("--prompt", default=None, help="custom user prompt")
+    tx.add_argument("--json", action="store_true", dest="as_json",
+                    help="print full result dicts as JSON lines")
+    tx.set_defaults(func=_cmd_transcribe)
+
     # train: pass-through to scripts/train.py-style composition
     tr = sub.add_parser("train", help="Train (hydra-style overrides)")
     tr.add_argument("overrides", nargs="*",
@@ -105,6 +117,31 @@ def _cmd_serve(args) -> int:
           warmup=not args.no_warmup,
           dynamic_batching=not args.no_batching,
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    return 0
+
+
+def _cmd_transcribe(args) -> int:
+    import json
+
+    from tiny_audio_tpu.models.asr import ASRModel
+    from tiny_audio_tpu.pipeline import ASRPipeline
+
+    pipe = ASRPipeline(ASRModel.from_pretrained(args.model))
+    kwargs = {}
+    if args.timestamps:
+        kwargs["return_timestamps"] = True
+    if args.speakers:
+        kwargs["return_speakers"] = True
+    if args.prompt:
+        kwargs["user_prompt"] = args.prompt
+    for path in args.files:
+        result = pipe(path, **kwargs)
+        if args.as_json:
+            print(json.dumps({"file": path, **result}))
+        elif len(args.files) > 1:
+            print(f"{path}\t{result['text']}")
+        else:
+            print(result["text"])
     return 0
 
 
