@@ -20,6 +20,25 @@ jax[cpu]
 flax
 optax
 numpy
+transformers
+huggingface_hub
+"""
+
+# The in-repo loaders read LOCAL paths only; on a Space the model id must be
+# snapshot-downloaded first.
+APP_BOOTSTRAP = """
+
+def _resolve_model(model_id):
+    import os
+
+    if os.path.isdir(model_id):
+        return model_id
+    from huggingface_hub import snapshot_download
+
+    return snapshot_download(model_id)
+
+
+demo = create_demo(_resolve_model({model_id!r}))
 """
 
 
@@ -35,13 +54,13 @@ def deploy(space_id: str, model_id: str, private: bool = False) -> str:
         stage = Path(td)
         (stage / "app.py").write_text(
             (REPO_ROOT / "demo" / "app.py").read_text()
-            + f'\n\ndemo = create_demo("{model_id}")\n'
+            + APP_BOOTSTRAP.format(model_id=model_id)
         )
         (stage / "requirements.txt").write_text(REQUIREMENTS)
         pkg = stage / "tiny_audio_tpu"
-        from tiny_audio_tpu.hub import ARTIFACT_MODULES
+        from tiny_audio_tpu.hub import artifact_modules
 
-        for rel in ARTIFACT_MODULES:
+        for rel in artifact_modules():
             src = REPO_ROOT / "tiny_audio_tpu" / rel
             dst = pkg / rel
             dst.parent.mkdir(parents=True, exist_ok=True)

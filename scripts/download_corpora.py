@@ -30,9 +30,16 @@ CORPORA = {
         "note": "MUSAN music/speech/noise corpus (~11 GB)",
     },
     "fsd50k": {
+        # Zenodo ships dev_audio as a SPLIT zip: .z01-.z05 + the final .zip
+        # (downloading only the .zip part fails zipfile extraction with
+        # BadZipFile).  All parts are fetched and merged with `zip -FF`.
         "url": "https://zenodo.org/record/4060432/files/FSD50K.dev_audio.zip",
+        "parts": [
+            f"https://zenodo.org/record/4060432/files/FSD50K.dev_audio.z0{i}"
+            for i in range(1, 6)
+        ],
         "archive": "FSD50K.dev_audio.zip",
-        "note": "FSD50K short sound events (~24 GB)",
+        "note": "FSD50K short sound events (~24 GB, 6-part split zip)",
     },
 }
 
@@ -63,14 +70,37 @@ def download(url: str, dest: Path) -> None:
     print(file=sys.stderr)
 
 
-def extract(archive: Path, out_dir: Path) -> None:
+def merge_split_zip(final_part: Path) -> Path:
+    """Reassemble a multi-part zip (x.z01.. + x.zip) into one archive via
+    ``zip -FF`` (the standard split-zip repair/merge)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("zip") is None:
+        raise RuntimeError(
+            f"{final_part.name} is a split zip; install `zip` (for -FF "
+            "merge) or reassemble manually"
+        )
+    merged = final_part.with_suffix(".merged.zip")
+    subprocess.run(
+        ["zip", "-FF", str(final_part), "--out", str(merged)],
+        check=True, input=b"y\n",
+    )
+    return merged
+
+
+def extract(archive: Path, out_dir: Path, split: bool = False) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     if archive.suffix == ".zip":
+        if split:
+            archive = merge_split_zip(archive)
         with zipfile.ZipFile(archive) as z:
             z.extractall(out_dir)
     else:
         with tarfile.open(archive) as t:
-            t.extractall(out_dir)
+            # filter='data' blocks ../ path traversal from a tampered
+            # mirror (and is the 3.14 default)
+            t.extractall(out_dir, filter="data")
 
 
 def main() -> int:
@@ -84,9 +114,11 @@ def main() -> int:
     base = Path(args.dir)
     archive = base / spec["archive"]
     print(f"[download] {spec['note']}")
+    for part_url in spec.get("parts", []):  # split-zip parts first
+        download(part_url, base / part_url.rsplit("/", 1)[-1])
     download(spec["url"], archive)
     if not args.no_extract:
-        extract(archive, base / args.corpus)
+        extract(archive, base / args.corpus, split=bool(spec.get("parts")))
         print(f"[download] extracted to {base / args.corpus}")
     return 0
 

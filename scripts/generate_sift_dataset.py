@@ -25,15 +25,18 @@ from typing import Callable, Iterable, Optional
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # Corpora the reference mixes (scripts/generate_sift_dataset.py)
+# label_column = the corpus's actual column; label_kind = the attribute it
+# carries (CREMA-D keeps emotion under 'label' — see eval/datasets.py)
 SIFT_CORPORA = [
-    {"path": "confit/cremad", "label_column": "emotion"},
-    {"path": "narad/ravdess", "label_column": "emotion"},
-    {"path": "declare-lab/MELD", "label_column": "emotion"},
-    {"path": "hltcoe/ESD", "label_column": "emotion"},
-    {"path": "tess", "label_column": "emotion"},
-    {"path": "savee", "label_column": "emotion"},
-    {"path": "mozilla-foundation/common_voice_17_0", "label_column": "age"},
-    {"path": "ylacombe/expresso", "label_column": "style"},
+    {"path": "confit/cremad", "label_column": "label", "label_kind": "emotion"},
+    {"path": "narad/ravdess", "label_column": "emotion", "label_kind": "emotion"},
+    {"path": "declare-lab/MELD", "label_column": "emotion", "label_kind": "emotion"},
+    {"path": "hltcoe/ESD", "label_column": "emotion", "label_kind": "emotion"},
+    {"path": "tess", "label_column": "emotion", "label_kind": "emotion"},
+    {"path": "savee", "label_column": "emotion", "label_kind": "emotion"},
+    {"path": "mozilla-foundation/common_voice_17_0", "label_column": "age",
+     "label_kind": "age"},
+    {"path": "ylacombe/expresso", "label_column": "style", "label_kind": "style"},
 ]
 
 
@@ -76,11 +79,21 @@ def rate_to_pace(words_per_second: Optional[float]) -> Optional[str]:
     return "brisk"
 
 
-def normalize_metadata(sample: dict) -> dict:
-    """Raw corpus row -> canonical attribute dict."""
+def normalize_metadata(sample: dict, label_column: Optional[str] = None,
+                       label_kind: Optional[str] = None) -> dict:
+    """Raw corpus row -> canonical attribute dict.
+
+    ``label_column``/``label_kind``: where the corpus stores its primary
+    label and what attribute it is (e.g. CREMA-D keeps emotion under
+    'label' — without this mapping such corpora silently contributed zero
+    rows because none of the hardcoded keys matched)."""
     import numpy as np
 
     attrs: dict = {}
+    if label_column and label_kind:
+        v = sample.get(label_column)
+        if v:
+            attrs[label_kind] = str(v).strip().lower()
     for key in ("emotion", "style", "gender", "accent"):
         v = sample.get(key)
         if v:
@@ -141,18 +154,26 @@ def generate_sift_rows(
     captioner = captioner or template_caption
     rows = []
     for sample in samples:
-        attrs = normalize_metadata(sample)
+        attrs = normalize_metadata(
+            sample, sample.get("_label_column"), sample.get("_label_kind")
+        )
         if not attrs:
             continue
-        rows.append(
-            {
-                "audio": sample.get("audio"),
-                "text": sample.get("text", ""),
-                "sift_response": captioner(attrs),
-                "attributes": attrs,
-                "task": "sift",
-            }
-        )
+        audio = sample.get("audio")
+        row = {
+            "audio": audio,
+            "text": sample.get("text", ""),
+            "sift_response": captioner(attrs),
+            "attributes": attrs,
+            "task": "sift",
+            # provenance so jsonl rows (audio stripped) can be joined back
+            # to their waveform at training time
+            "source": sample.get("_source"),
+            "row_idx": sample.get("_row_idx"),
+        }
+        if isinstance(audio, dict) and audio.get("path"):
+            row["audio_path"] = audio["path"]
+        rows.append(row)
         if max_rows and len(rows) >= max_rows:
             break
     return rows
@@ -181,13 +202,18 @@ def main() -> int:
         import datasets as hfd
 
         samples = []
+        quota = max(1, args.max_rows // len(SIFT_CORPORA))  # floor-0 guard
         for corpus in SIFT_CORPORA:
             try:
                 ds = hfd.load_dataset(corpus["path"], split="train", streaming=True)
                 for i, row in enumerate(ds):
-                    if i >= args.max_rows // len(SIFT_CORPORA):
+                    if i >= quota:
                         break
-                    samples.append(dict(row))
+                    samples.append(dict(
+                        row, _source=corpus["path"], _row_idx=i,
+                        _label_column=corpus["label_column"],
+                        _label_kind=corpus["label_kind"],
+                    ))
             except Exception as e:
                 print(f"[sift] skipping {corpus['path']}: {e}", file=sys.stderr)
 

@@ -41,11 +41,10 @@ def _ssh_base(host: str) -> list[str]:
 
 
 def run_remote(host: str, command: str, check: bool = True) -> int:
-    base = _ssh_base(host)
-    if base[0] == "gcloud":
-        cmd = base + [command]
-    else:
-        cmd = base + [command]
+    # _ssh_base already encodes the gcloud/ssh difference (gcloud takes the
+    # command via --command, ssh as the trailing argv) — one append works
+    # for both
+    cmd = _ssh_base(host) + [command]
     print(f"[tpu_vm] $ {command}")
     return subprocess.run(cmd, check=check).returncode
 

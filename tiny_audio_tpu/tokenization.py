@@ -165,10 +165,19 @@ class HFTokenizerAdapter:
                 {"additional_special_tokens": existing + [AUDIO_TOKEN]}
             )
         if self.tok.pad_token is None or self.tok.pad_token_id == self.tok.eos_token_id:
-            if "<|finetune_right_pad_id|>" in self.tok.get_vocab():
-                self.tok.pad_token = "<|finetune_right_pad_id|>"
-            elif self.tok.pad_token is None:
-                self.tok.pad_token = self.tok.eos_token
+            vocab = self.tok.get_vocab()
+            for cand in ("<|finetune_right_pad_id|>", "<|endoftext|>", "<pad>"):
+                if cand in vocab and vocab[cand] != self.tok.eos_token_id:
+                    self.tok.pad_token = cand
+                    break
+            else:
+                # No distinct pad token exists: pad == eos is SAFE in this
+                # framework (labels are masked positionally by the collator,
+                # never by pad id, and generate() tracks lengths in-loop,
+                # documented tolerant of pad ∈ EOS), so fall back rather
+                # than inventing a new token that would resize embeddings.
+                if self.tok.pad_token is None:
+                    self.tok.pad_token = self.tok.eos_token
         self.tok.padding_side = "right"
 
     @classmethod
