@@ -86,7 +86,7 @@ def main() -> None:
         # timing (each cold batch bucket compiles for minutes)
         arr = np.frombuffer(clip, np.float32)
         if batcher is not None:
-            for bucket in (1, 2, 4, 8, 16):
+            for bucket in ASRPipeline.BATCH_BUCKETS:
                 print(f"[warm] batch bucket {bucket}", flush=True)
                 pipe.transcribe_batch([arr] * bucket)
         else:

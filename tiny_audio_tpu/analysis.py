@@ -111,12 +111,13 @@ def entity_errors(results_path) -> list[dict]:
         if not gt_entities:
             continue
         pred = s["prediction"].lower()
-        # word-boundary presence: plain substring counted 'ten' inside
-        # 'often' as present, hiding exactly the dropped-number errors
-        # this triage exists to surface
+        # word-boundary presence via lookarounds: plain substring counted
+        # 'ten' inside 'often' as present, while \b...\b could never match
+        # spans starting '$' or ending '%' (\b needs a word char on one
+        # side — '$5' would have been flagged missing even when verbatim)
         missing = [
             (lb, sp) for lb, sp in gt_entities
-            if not re.search(rf"\b{re.escape(sp)}\b", pred)
+            if not re.search(rf"(?<!\w){re.escape(sp)}(?!\w)", pred)
         ]
         if missing:
             rows.append({**s, "missing_entities": missing})

@@ -27,7 +27,7 @@ class EndpointHandler:
             self.pipe = ASRPipeline(ASRModel.from_pretrained(path))
 
     def warmup(self, seconds: Optional[float] = None,
-               longform: bool = True) -> None:
+               longform: bool = True, batched: bool = False) -> None:
         """AOT-compile the serving graphs at boot.
 
         Without ``seconds``, compiles EVERY mel bucket (each bucket is a
@@ -35,6 +35,10 @@ class EndpointHandler:
         seconds of compile, and the persistent cache only helps across
         restarts) plus, when ``longform``, every chunked-batch bucket
         (2/4/8 full chunks) that >30 s inputs dispatch to.  With
+        ``batched`` (dynamic request batching enabled), also compiles the
+        transcribe_batch BATCH_BUCKETS per mel bucket — a cold batch shape
+        at request time stalls every coalesced request (and, through the
+        shared lock, solo requests) behind a minutes-long compile.  With
         ``seconds``, compiles just that one bucket (the round-1 behavior).
         """
         from tiny_audio_tpu.ops import mel
@@ -46,6 +50,11 @@ class EndpointHandler:
         for frames in buckets:
             n = frames * mel.HOP_LENGTH
             self.pipe(np.zeros(n, np.float32))
+            if batched:
+                for rows in self.pipe.BATCH_BUCKETS[1:]:  # 1 == solo above
+                    self.pipe.transcribe_batch(
+                        [np.zeros(n, np.float32)] * rows
+                    )
         if longform:
             # The pipeline pads chunk groups to power-of-2 batch buckets,
             # so 2/4/8 full-chunk inputs compile EVERY longform generate

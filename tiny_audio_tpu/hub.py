@@ -41,9 +41,12 @@ _IMPORT_DOTTED = re.compile(
 # submodule (e.g. `from tiny_audio_tpu.ops import mel`).  Single-line and
 # parenthesized multi-line forms matched separately (a greedy \s-class
 # here once swallowed following lines and silently dropped `native`).
+# `as` aliases and trailing comments are stripped in the consumer —
+# `import mel as _mel  # note` must still stage ops/mel.py.
 _IMPORT_FROM = re.compile(
     r"^\s*from\s+tiny_audio_tpu((?:\.[A-Za-z0-9_.]+)?)\s+import\s+"
-    r"([A-Za-z0-9_, \t]+)$",
+    r"([A-Za-z0-9_, \t]+(?:\s+as\s+[A-Za-z0-9_]+)?"
+    r"(?:\s*,\s*[A-Za-z0-9_]+(?:\s+as\s+[A-Za-z0-9_]+)?)*)",
     re.M,
 )
 _IMPORT_FROM_PAREN = re.compile(
@@ -82,7 +85,9 @@ def artifact_modules() -> list[str]:
             for m in pat.finditer(src):
                 base = m.group(1).lstrip(".")
                 for name in m.group(2).split(","):
-                    name = name.strip()
+                    # strip comments and `as` aliases: the bare name is
+                    # what maps to a module file
+                    name = name.split("#")[0].split(" as ")[0].strip()
                     if name:
                         # the imported name may be a symbol OR a submodule
                         # — queue both interpretations; non-files drop out

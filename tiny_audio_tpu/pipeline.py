@@ -117,6 +117,10 @@ class ASRPipeline:
     #: max full-length chunks decoded per generate call (bounds compiled
     #: shapes to <= LONGFORM_BATCH distinct batch sizes and caches ~300 MB)
     LONGFORM_BATCH = 8
+    #: transcribe_batch row-count buckets (serving dynamic batching): few
+    #: enough for warmup to AOT-compile batch x mel-bucket combinations;
+    #: decode is weight-bound so padded rows are nearly free
+    BATCH_BUCKETS = (1, 4, 16)
 
     def __call__(
         self,
@@ -246,8 +250,10 @@ class ASRPipeline:
         Each element goes through the same extract/normalize path as a solo
         ``__call__``; clips longer than MAX_CHUNK_SECONDS are rejected (the
         batcher routes long-form requests through the solo path).  The batch
-        is padded to a power-of-2 row count so only log2 batch shapes ever
-        compile (see the long-form grouping above).
+        pads to BATCH_BUCKETS so only three generate shapes per mel bucket
+        ever compile — few enough that ``handler.warmup`` AOT-compiles them
+        ALL at boot (a cold batch shape at request time stalls every
+        coalesced request behind a minutes-long compile).
         """
         arrays = []
         limit = int(self.MAX_CHUNK_SECONDS * 16000)
@@ -260,9 +266,10 @@ class ASRPipeline:
                 )
             arrays.append(audio["array"])
         n_real = len(arrays)
-        bucket = 1
-        while bucket < n_real:
-            bucket *= 2
+        bucket = next(
+            (b for b in self.BATCH_BUCKETS if b >= n_real),
+            -(-n_real // self.BATCH_BUCKETS[-1]) * self.BATCH_BUCKETS[-1],
+        )
         longest = max(len(a) for a in arrays)
         arrays = arrays + [
             np.zeros(longest, np.float32) for _ in range(bucket - n_real)

@@ -116,8 +116,9 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
 
     handler = EndpointHandler(model_path)
     if warmup:
-        print("[serve] warming up (compiling)...")
-        handler.warmup()
+        print("[serve] warming up (compiling; first boot is slow, the "
+              "persistent compile cache makes restarts fast)...")
+        handler.warmup(batched=dynamic_batching)
     batcher = None
     if dynamic_batching:
         from tiny_audio_tpu.batching import DynamicBatcher

@@ -106,9 +106,23 @@ class LazyRows:
 
     def __init__(self, items: list):
         self._items = items
+        self._len_cache: dict[int, int] = {}
 
     def __len__(self) -> int:
         return len(self._items)
+
+    def audio_len(self, i: int) -> int:
+        """Sample length in samples, decoded ONCE and memoized as an int —
+        group_by_length's sort probe would otherwise decode every clip a
+        second time per epoch just to read its length."""
+        if i not in self._len_cache:
+            row = self[int(i)]
+            audio = row.get("audio")
+            arr = audio.get("array") if isinstance(audio, dict) else audio
+            self._len_cache[i] = (
+                0 if arr is None else int(np.asarray(arr).shape[-1])
+            )
+        return self._len_cache[i]
 
     def __getitem__(self, i):
         if isinstance(i, slice):

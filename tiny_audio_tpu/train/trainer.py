@@ -194,7 +194,14 @@ def batch_iterator(
                 for w in range(0, n, window):
                     idx = order[w : w + window]
                     lengths = np.array(
-                        [_audio_len(dataset[int(j)]) for j in idx]
+                        [
+                            # LazyRows memoizes lengths: probing via
+                            # dataset[j] would decode every clip twice/epoch
+                            dataset.audio_len(int(j))
+                            if hasattr(dataset, "audio_len")
+                            else _audio_len(dataset[int(j)])
+                            for j in idx
+                        ]
                     )
                     reordered.append(idx[np.argsort(lengths, kind="stable")])
                 order = np.concatenate(reordered)
@@ -546,6 +553,12 @@ class Trainer:
 
                     if step % cfg.logging_steps == 0:
                         dt = time.time() - t_window
+                        if not window_losses:
+                            # logging_steps*accum == 1: the lagged watchdog
+                            # has not sampled yet — sync on the current loss
+                            # rather than log mean-of-empty (nan) at step 1
+                            check_loss(loss)
+                            prev_loss = None
                         self._log(
                             {
                                 "step": step,
@@ -553,7 +566,8 @@ class Trainer:
                                 "ce_loss": float(metrics["ce_loss"]),
                                 "aux_loss": float(metrics["aux_loss"]),
                                 "grad_norm": float(metrics["grad_norm"]),
-                                "steps_per_s": (len(window_losses) / accum)
+                                "steps_per_s": (max(len(window_losses), 1)
+                                                / accum)
                                 / max(dt, 1e-9),
                             }
                         )
