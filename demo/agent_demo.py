@@ -37,8 +37,11 @@ async def run_agent(model_path: str) -> None:
         )
     )
     stt = TinyAudioSTTService(model_path=model_path, streaming=True)
-    llm = OpenAILLMService(api_key=os.environ["OPENAI_API_KEY"], model="gpt-4o-mini")
-    tts = OpenAITTSService(api_key=os.environ["OPENAI_API_KEY"], voice="alloy")
+    api_key = os.environ.get("OPENAI_API_KEY")
+    if not api_key:  # friendly setup message, not a raw KeyError traceback
+        raise SystemExit("agent demo needs OPENAI_API_KEY set (LLM + TTS)")
+    llm = OpenAILLMService(api_key=api_key, model="gpt-4o-mini")
+    tts = OpenAITTSService(api_key=api_key, voice="alloy")
 
     pipeline = Pipeline(
         [transport.input(), stt, llm, tts, transport.output()]

@@ -31,10 +31,14 @@ def create_demo(model_path: str):
             kwargs["return_speakers"] = True
         if prompt:
             kwargs["user_prompt"] = prompt
-        result = pipe(audio_path, **kwargs)
+        try:
+            result = pipe(audio_path, **kwargs)
+        except Exception as e:  # e.g. non-WAV upload: wave.Error
+            return "", (f"error: {type(e).__name__}: {e}\n"
+                        "(uploads must be PCM WAV, 16 kHz preferred)")
         detail_lines = []
         for w in result.get("words", []):
-            spk = f" [{w['speaker']}]" if "speaker" in w else ""
+            spk = f" [{w['speaker']}]" if w.get("speaker") else ""
             detail_lines.append(
                 f"{w['start']:6.2f}-{w['end']:6.2f}  {w['word']}{spk}"
             )
@@ -42,6 +46,9 @@ def create_demo(model_path: str):
             detail_lines.append(
                 f"{s['speaker']}: {s['start']:.2f}-{s['end']:.2f}"
             )
+        for err_key in ("timestamp_error", "diarization_error"):
+            if result.get(err_key):  # surface feature failures, not a blank pane
+                detail_lines.append(f"{err_key}: {result[err_key]}")
         return result["text"], "\n".join(detail_lines)
 
     with gr.Blocks(title="tiny-audio-tpu") as demo:

@@ -26,7 +26,15 @@ def main() -> int:
 
     pipe = ASRPipeline(ASRModel.from_pretrained(args.model))
     audio = ASRPipeline.extract_audio(args.wav)
-    feats = pipe.processor.extract_features(audio["array"])
+    arr = audio["array"]
+    limit = int(ASRPipeline.MAX_CHUNK_SECONDS * audio["sampling_rate"])
+    if len(arr) > limit:
+        # streaming bypasses the pipeline's long-form chunking; past the
+        # encoder window it would crash, so stream the first window only
+        print(f"[streaming demo: clip > {ASRPipeline.MAX_CHUNK_SECONDS:.0f}s,"
+              " streaming the first window]", file=sys.stderr)
+        arr = arr[:limit]
+    feats = pipe.processor.extract_features(arr)
 
     t0 = time.time()
     first = None
@@ -37,7 +45,8 @@ def main() -> int:
             first = time.time() - t0
         print(fragment, end="", flush=True)
     print()
-    print(f"[TTFB {first:.3f}s, total {time.time() - t0:.3f}s]", file=sys.stderr)
+    ttfb = f"{first:.3f}s" if first is not None else "n/a (no output)"
+    print(f"[TTFB {ttfb}, total {time.time() - t0:.3f}s]", file=sys.stderr)
     return 0
 
 

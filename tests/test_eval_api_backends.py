@@ -117,13 +117,16 @@ class TestAlignmentExtractors:
 
 
 class TestBackendWiring:
-    def test_key_gated(self, monkeypatch):
-        """API evaluators construct lazily; missing keys surface per-sample."""
+    def test_key_gated_eagerly(self, monkeypatch):
+        """A missing API key fails at CONSTRUCTION — raising per-sample
+        would be swallowed by the eval loop and report ~100% DER as a
+        'successful' run."""
         monkeypatch.delenv("DEEPGRAM_API_KEY", raising=False)
+        with pytest.raises(RuntimeError, match="DEEPGRAM_API_KEY"):
+            make_diarization_evaluator("deepgram")
+        monkeypatch.setenv("DEEPGRAM_API_KEY", "k")
         ev = make_diarization_evaluator("deepgram")
         assert ev.model_name == "deepgram-diarization"
-        with pytest.raises(RuntimeError, match="DEEPGRAM_API_KEY"):
-            ev.diarize_fn(np.zeros(1600, np.float32), sample_rate=16000)
 
     def test_unknown_backend_raises(self):
         # must fail at CONSTRUCTION: a deferred per-sample error would be

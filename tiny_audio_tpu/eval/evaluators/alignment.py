@@ -207,6 +207,10 @@ def make_alignment_evaluator(backend: str = "local", align_fn=None,
             f"unsupported alignment backend {backend!r}; "
             f"use 'local' or one of {ALIGNMENT_API_BACKENDS}"
         )
+    from tiny_audio_tpu.eval.evaluators import api
+    from tiny_audio_tpu.eval.evaluators.diarization import API_KEY_ENV
+
+    api.require_key(API_KEY_ENV[backend])  # fail fast, not per-sample
     return AlignmentEvaluator(
         _api_align_fn(backend), model_name=model_name or f"{backend}-alignment"
     )

@@ -34,6 +34,12 @@ class DiarizationEvaluator:
         # accept parallel-array form {"speakers": [...], "timestamps": [[s,e]...]}
         if segs and not isinstance(segs[0], dict):
             ts = sample.get("timestamps") or []
+            if len(ts) != len(segs):
+                # zip truncation would silently score against a partial
+                # reference, deflating DER — surface the corrupt row
+                raise ValueError(
+                    f"{len(segs)} speakers vs {len(ts)} timestamps"
+                )
             segs = [
                 {"speaker": str(sp), "start": float(t[0]), "end": float(t[1])}
                 for sp, t in zip(segs, ts)
@@ -170,6 +176,11 @@ def _api_diarize_fn(backend: str, **client_kwargs):
 
 
 DIARIZATION_API_BACKENDS = ("assemblyai", "deepgram", "elevenlabs")
+API_KEY_ENV = {
+    "assemblyai": "ASSEMBLYAI_API_KEY",
+    "deepgram": "DEEPGRAM_API_KEY",
+    "elevenlabs": "ELEVENLABS_API_KEY",
+}
 
 
 def make_diarization_evaluator(backend: str = "local",
@@ -187,6 +198,12 @@ def make_diarization_evaluator(backend: str = "local",
             f"unsupported diarization backend {backend!r}; "
             f"use 'local' or one of {DIARIZATION_API_BACKENDS}"
         )
+    from tiny_audio_tpu.eval.evaluators import api
+
+    # key check EAGERLY too: a missing key raising per-sample inside
+    # diarize_fn is swallowed by the eval loop — same silent-100%-DER
+    # failure mode as an unknown backend
+    api.require_key(API_KEY_ENV[backend])
     return DiarizationEvaluator(
         diarize_fn=_api_diarize_fn(backend),
         model_name=f"{backend}-diarization", **kwargs,
