@@ -32,8 +32,9 @@ TARGET_MULTIPLE = 5.0
 def main() -> None:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from tiny_audio_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()  # TA_JAX_CACHE_DIR overrides
     import jax.numpy as jnp
 
     from tiny_audio_tpu.config import ASRConfig
@@ -127,7 +128,9 @@ def main() -> None:
         f, m = lat_frontend(lat_audio, lat_lengths)
         return np.asarray(model.generate(f, m, mel_length=lat_frames))
 
+    t0 = time.time()
     one_utterance()  # compile
+    lat_compile_s = time.time() - t0
     lats = []
     for _ in range(5):
         t0 = time.time()
@@ -159,7 +162,9 @@ def main() -> None:
             return time.time() - t0
         return time.time() - t0
 
+    t0 = time.time()
     first_token_latency()  # compile prefill + step graphs
+    stream_compile_s = time.time() - t0
     ttfbs = [first_token_latency() for _ in range(5)]
 
     result = {
@@ -171,6 +176,12 @@ def main() -> None:
             "batch": batch,
             "wall_s_per_batch": round(wall, 3),
             "compile_s": round(compile_s, 1),
+            # total first-trace cost across every graph this bench builds
+            # (batched generate + batch-1 latency + streaming prefill/step);
+            # near-zero on a warm persistent cache (~10 s deserialize)
+            "warmup_total_s": round(
+                compile_s + lat_compile_s + stream_compile_s, 1
+            ),
             "p50_utterance_latency_s": round(float(np.median(lats)), 3),
             "streaming_ttfb_s": round(float(np.median(ttfbs)), 3),
             "kv_cache_dtype": cfg.kv_cache_dtype,

@@ -155,3 +155,37 @@ class TestServerIntegration:
         finally:
             server.shutdown()
             batcher.close()
+
+
+def test_backlog_full_rejects():
+    """submit raises BacklogFull once max_queue requests are pending
+    (overload backpressure -> HTTP 503, not 600 s timeouts)."""
+    from tiny_audio_tpu.batching import BacklogFull
+
+    pipe = StubPipe(delay_s=0.5)
+    b = DynamicBatcher(pipe, max_batch=1, max_wait_ms=1, max_queue=3)
+    try:
+        b.submit(np.zeros(8, np.float32))  # occupies the dispatcher
+        time.sleep(0.05)
+        for _ in range(3):
+            b.submit(np.zeros(8, np.float32))
+        with pytest.raises(BacklogFull):
+            b.submit(np.zeros(8, np.float32))
+    finally:
+        b.close()
+
+
+def test_close_fails_queued_futures():
+    """close() must resolve still-queued futures so HTTP threads blocked in
+    result() do not hang through shutdown (ADVICE r2)."""
+    pipe = StubPipe(delay_s=0.4)
+    b = DynamicBatcher(pipe, max_batch=1, max_wait_ms=1)
+    b.submit(np.zeros(8, np.float32))  # in-flight
+    time.sleep(0.05)
+    queued = [b.submit(np.zeros(8, np.float32)) for _ in range(4)]
+    b.close()
+    for fut in queued:
+        if fut.done() and fut.exception() is None:
+            continue  # dispatched before the stop flag landed
+        with pytest.raises(RuntimeError):
+            fut.result(timeout=1)

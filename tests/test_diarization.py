@@ -161,10 +161,25 @@ class TestEndToEnd:
         )
         segments = SpeakerDiarizer.diarize(audio, num_speakers=2)
         assert isinstance(segments, list)
+        from tiny_audio_tpu.diarization import EcapaEmbedder
+        from tiny_audio_tpu.vad import NeuralVAD
+
+        tier = getattr(EcapaEmbedder.get(), "tier", "random")
+        vad_trained = NeuralVAD.get() is not None
         for seg in segments:
-            # random-init embedder => results must be tagged as fallback
-            assert set(seg) == {"speaker", "start", "end", "fallback"}
-            assert seg["fallback"] is True
+            expect = {"speaker", "start", "end"}
+            # random-init embedder => tagged fallback; synthetic-trained
+            # tier => tagged with the embedder name; heuristic VAD adds
+            # its own tag
+            if tier == "random":
+                expect.add("fallback")
+                assert seg["fallback"] is True
+            elif tier == "synthetic":
+                expect.add("embedder")
+                assert seg["embedder"] == "synthetic"
+            if not vad_trained:
+                expect.add("vad_fallback")
+            assert set(seg) == expect
             assert seg["start"] < seg["end"]
             assert seg["speaker"].startswith("SPEAKER_")
         # monotonic, non-overlapping

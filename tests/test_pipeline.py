@@ -257,3 +257,33 @@ class TestTranscribeBatch:
                                     seed=0))
         with pytest.raises(ValueError, match="long-form"):
             pipe.transcribe_batch([np.zeros(31 * 16000 * 2, np.float32)])
+
+    def test_oversized_batch_splits_into_buckets(self):
+        """> BATCH_BUCKETS[-1] clips split into warmed bucket-sized
+        sub-batches instead of compiling a new rounded-up shape (ADVICE r2)."""
+        import numpy as np
+
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        pipe = ASRPipeline(model)
+        seen_batches = []
+        orig = model.generate
+
+        def spy(feats, mask, **kw):
+            seen_batches.append(int(np.asarray(feats).shape[0]))
+            return orig(feats, mask, **kw)
+
+        model.generate = spy
+        rng = np.random.default_rng(1)
+        n = pipe.BATCH_BUCKETS[-1] + 2
+        clips = [
+            (0.1 * rng.standard_normal(8000)).astype(np.float32)
+            for _ in range(n)
+        ]
+        texts = pipe.transcribe_batch(clips)
+        assert len(texts) == n
+        assert all(b in pipe.BATCH_BUCKETS for b in seen_batches)
+        assert len(seen_batches) == 2

@@ -135,7 +135,12 @@ class TestConversationPipeline:
         audio, turns, mask = synth_conversation(12.0, n_speakers=2, seed=0)
         segments = LocalSpeakerDiarizer(num_speakers=2).diarize(audio)
         assert segments, "no segments on clearly voiced audio"
-        assert all(s.get("fallback") for s in segments)  # untrained embedder
+        from tiny_audio_tpu.diarization import EcapaEmbedder
+
+        if getattr(EcapaEmbedder.get(), "tier", "random") == "random":
+            assert all(s.get("fallback") for s in segments)
+        else:  # synthetic-trained embedder shipped: tagged by name instead
+            assert not any(s.get("fallback") for s in segments)
 
         grid = 0.01
         n = int(len(audio) / 16000 / grid)

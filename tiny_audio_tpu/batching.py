@@ -32,6 +32,13 @@ from concurrent.futures import Future
 from typing import Optional
 
 
+class BacklogFull(RuntimeError):
+    """Raised by :meth:`DynamicBatcher.submit` when the request queue exceeds
+    ``max_queue`` — the server's backpressure signal (HTTP 503).  An
+    unbounded queue just converts overload into 600 s result timeouts for
+    every caller; rejecting early keeps admitted requests' latency bounded."""
+
+
 class DynamicBatcher:
     def __init__(
         self,
@@ -39,10 +46,16 @@ class DynamicBatcher:
         max_batch: int = 16,
         max_wait_ms: float = 20.0,
         lock: Optional[threading.Lock] = None,
+        max_queue: Optional[int] = None,
     ):
         self.pipe = pipe
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
+        # Backpressure bound: ~8 full batches of backlog (~8 batch-latencies
+        # of queueing delay) before new work is rejected with BacklogFull.
+        self.max_queue = (
+            int(max_queue) if max_queue is not None else 8 * self.max_batch
+        )
         # shared with the solo serving path so batched and solo graphs never
         # run concurrently (both are sized near the chip's HBM budget)
         self.lock = lock or threading.Lock()
@@ -54,7 +67,14 @@ class DynamicBatcher:
     # ------------------------------------------------------------------- API
 
     def submit(self, audio, user_prompt: Optional[str] = None) -> Future:
-        """Enqueue one short-clip request; resolves to the transcript str."""
+        """Enqueue one short-clip request; resolves to the transcript str.
+
+        Raises :class:`BacklogFull` when the pending queue exceeds
+        ``max_queue`` (callers translate to 503/retry)."""
+        if self._q.qsize() >= self.max_queue:
+            raise BacklogFull(
+                f"request queue full ({self.max_queue} pending)"
+            )
         fut: Future = Future()
         self._q.put((audio, user_prompt, fut))
         return fut
@@ -63,6 +83,17 @@ class DynamicBatcher:
         self._stop = True
         self._q.put(None)  # wake the dispatcher
         self._thread.join(timeout=10)
+        # Fail still-queued requests NOW: HTTP threads blocked in
+        # fut.result(timeout=600) must not hang through shutdown.
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[2].done():
+                item[2].set_exception(
+                    RuntimeError("DynamicBatcher closed before dispatch")
+                )
 
     # -------------------------------------------------------------- dispatch
 

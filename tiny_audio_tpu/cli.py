@@ -246,6 +246,15 @@ def _cmd_dev(args) -> int:
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    # Every CLI entry that touches JAX benefits from the persistent
+    # compilation cache (eval/transcribe/serve/train/debug all compile
+    # flagship-size graphs); wiring it here makes repeat invocations
+    # skip minutes of XLA compile.
+    from tiny_audio_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     return args.func(args)
 
 

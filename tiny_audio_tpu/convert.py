@@ -15,6 +15,7 @@ ours by design: linear_1/norm/linear_2/norm_2 etc,
 
 from __future__ import annotations
 
+import json
 import logging
 from pathlib import Path
 from typing import Optional
@@ -187,6 +188,97 @@ def convert_reference_projector(state_dict: dict, projector_type: str,
         return params
 
     raise ValueError(f"no reference converter for projector_type={projector_type!r}")
+
+
+# ------------------------------------------------- reference checkpoint dirs
+
+
+def config_from_reference_dir(ckpt_dir: str | Path):
+    """Build our :class:`~tiny_audio_tpu.config.ASRConfig` from a REFERENCE
+    checkpoint directory's ``config.json``.
+
+    The reference serializes ``PretrainedConfig`` with top-level projector/
+    generation fields (names mirror ours by design) plus nested
+    ``audio_config`` / ``text_config`` HF tower dicts
+    (``/root/reference/tiny_audio/asr_config.py:172-203``).  Tower dims are
+    overlaid from those nested dicts; unknown HF-machinery keys
+    (``auto_map``, ``custom_pipelines``, ...) are ignored.
+    """
+    import dataclasses as _dc
+
+    from tiny_audio_tpu.config import (
+        ASRConfig,
+        decoder_kwargs_from_hf,
+        encoder_kwargs_from_hf,
+    )
+
+    raw = json.loads((Path(ckpt_dir) / "config.json").read_text())
+    # The reference aliases ``self.encoder = self.audio_config``
+    # (asr_config.py:203), so serialized configs carry an ``encoder`` key
+    # holding an HF tower dict — NOT our EncoderConfig shape.  Detect by the
+    # HF ``model_type`` marker and reroute it to the audio_config overlay.
+    raw = dict(raw)
+    enc_raw = raw.get("encoder")
+    if isinstance(enc_raw, dict) and "model_type" in enc_raw:
+        raw.pop("encoder")
+        raw.setdefault("audio_config", enc_raw)
+    config = ASRConfig.from_dict(raw)
+    audio_cfg = raw.get("audio_config")
+    if isinstance(audio_cfg, dict):
+        config.encoder = _dc.replace(
+            config.encoder, **encoder_kwargs_from_hf(audio_cfg)
+        )
+    text_cfg = raw.get("text_config")
+    if isinstance(text_cfg, dict):
+        config.decoder = _dc.replace(
+            config.decoder, **decoder_kwargs_from_hf(text_cfg)
+        )
+    config.__post_init__()  # re-derive encoder_dim/llm_dim from new towers
+    return config
+
+
+def convert_reference_checkpoint(
+    ckpt_dir: str | Path,
+    encoder_path: Optional[str | Path] = None,
+    decoder_path: Optional[str | Path] = None,
+    output_dir: Optional[str | Path] = None,
+    tokenizer=None,
+    seed: int = 0,
+):
+    """One-call conversion of a reference-format checkpoint DIRECTORY.
+
+    The published artifact layout (``mazesmazes/tiny-audio``;
+    ``/root/reference/tiny_audio/asr_modeling.py:825-852``) is: ``config.json``
+    (composite ASRConfig with nested tower configs), ``model.safetensors``
+    holding the trainable weights with ``projector.``-prefixed keys
+    (``asr_modeling.py:398-422``), tokenizer/feature-extractor files, and
+    copied source .py files.  Tower weights are NOT in the artifact — the
+    reference re-downloads them from ``audio_model_id`` / ``text_model_id``;
+    pass ``encoder_path`` / ``decoder_path`` to point at local tower
+    checkpoints (defaults to the config ids when those are local dirs).
+    """
+    ckpt_dir = Path(ckpt_dir)
+    config = config_from_reference_dir(ckpt_dir)
+
+    if encoder_path is None and Path(config.audio_model_id).is_dir():
+        encoder_path = config.audio_model_id
+    if decoder_path is None and Path(config.text_model_id).is_dir():
+        decoder_path = config.text_model_id
+
+    model = convert_checkpoint(
+        config,
+        encoder_path=encoder_path,
+        decoder_path=decoder_path,
+        projector_path=ckpt_dir,
+        output_dir=output_dir,
+        seed=seed,
+    )
+    if tokenizer is not None:
+        model.tokenizer = tokenizer
+        model.gen_config = model.gen_config.__class__.from_asr_config(
+            model.config, tokenizer.eos_token_ids, tokenizer.pad_token_id
+        )
+    return model
 
 
 # ----------------------------------------------------------------- full model

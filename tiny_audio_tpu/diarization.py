@@ -174,7 +174,13 @@ class EcapaEmbedder:
 
     _instance: Optional["EcapaEmbedder"] = None
 
-    def __init__(self, module=None, params=None, seed: int = 0):
+    #: compact synthetic-voice-trained tier, checked into the repo by
+    #: ``scripts/train_speaker_embedder.py`` (see its docstring for scope)
+    SYNTH_WEIGHTS: "object" = None  # resolved lazily (pathlib at import cost)
+    SYNTH_CHANNELS = (256, 256, 256, 256, 768)
+
+    def __init__(self, module=None, params=None, seed: int = 0,
+                 tier: Optional[str] = None):
         import jax
         import jax.numpy as jnp
 
@@ -185,23 +191,75 @@ class EcapaEmbedder:
             self.params = self.module.init(
                 jax.random.PRNGKey(seed), jnp.zeros((1, 75, 80), jnp.float32)
             )["params"]
-            self.trained = False
+            self.tier = tier or "random"
         else:
             self.params = params
-            self.trained = True
+            self.tier = tier or "speechbrain"
         self._apply = jax.jit(
             lambda p, x: self.module.apply({"params": p}, x)
         )
+
+    @property
+    def trained(self) -> bool:
+        """True when weights are not random init (synthetic or speechbrain
+        tier).  ``tier`` says which."""
+        return self.tier != "random"
 
     @property
     def embed_dim(self) -> int:
         return self.module.embed_dim
 
     @classmethod
+    def _synth_weights_path(cls):
+        from pathlib import Path
+
+        if cls.SYNTH_WEIGHTS is None:
+            cls.SYNTH_WEIGHTS = (
+                Path(__file__).parent / "data" / "ecapa_synthetic.msgpack"
+            )
+        return cls.SYNTH_WEIGHTS
+
+    @classmethod
     def get(cls) -> "EcapaEmbedder":
+        """Best available tier: converted speechbrain weights are attached
+        explicitly (convert_checkpoint); otherwise the checked-in
+        synthetic-voice-trained compact model; otherwise random init."""
         if cls._instance is None:
-            cls._instance = cls()
+            path = cls._synth_weights_path()
+            if path.is_file():
+                try:
+                    cls._instance = cls.from_synthetic(path)
+                except Exception:
+                    cls._instance = cls()
+            else:
+                cls._instance = cls()
         return cls._instance
+
+    @classmethod
+    def from_synthetic(cls, path=None) -> "EcapaEmbedder":
+        """Load the compact synthetic-voice-trained tier (fp16 msgpack)."""
+        from pathlib import Path
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as _np
+        from flax import serialization
+
+        from tiny_audio_tpu.models.ecapa import EcapaTDNN
+
+        path = path or cls._synth_weights_path()
+        module = EcapaTDNN(channels=cls.SYNTH_CHANNELS)
+        template = module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 75, 80), jnp.float32)
+        )["params"]
+        half = jax.tree_util.tree_map(
+            lambda x: _np.asarray(x, _np.float16), jax.device_get(template)
+        )
+        loaded = serialization.from_bytes(half, Path(path).read_bytes())
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float32), loaded
+        )
+        return cls(module=module, params=params, tier="synthetic")
 
     @classmethod
     def from_speechbrain(cls, state_dict: dict) -> "EcapaEmbedder":
@@ -209,14 +267,14 @@ class EcapaEmbedder:
         from tiny_audio_tpu.models.ecapa import convert_speechbrain_ecapa
 
         params, module = convert_speechbrain_ecapa(state_dict)
-        return cls(module=module, params=params)
+        return cls(module=module, params=params, tier="speechbrain")
 
     def load_weights(self, path) -> None:
         from flax import serialization
 
         with open(path, "rb") as f:
             self.params = serialization.from_bytes(self.params, f.read())
-        self.trained = True
+        self.tier = "speechbrain"
 
     def embed_windows(self, windows: np.ndarray) -> np.ndarray:
         """[N, samples] -> [N, embed_dim] L2-normalized embeddings.
@@ -453,7 +511,9 @@ class LocalSpeakerDiarizer:
             sample_rate = SAMPLE_RATE
         duration = len(audio) / sample_rate
 
-        decisions = frame_vad(audio, sample_rate)
+        from tiny_audio_tpu.vad import frame_vad_auto
+
+        decisions, vad_trained = frame_vad_auto(audio, sample_rate)
         vad_segments = decisions_to_segments(
             decisions, sample_rate, total_duration=duration
         )
@@ -472,11 +532,23 @@ class LocalSpeakerDiarizer:
         embeddings = embedder.embed_windows(windows)
         labels = self.clusterer(embeddings)
         segments = self._vote(labels, spans, vad_segments, duration)
+        tier = getattr(embedder, "tier", None)
         if not getattr(embedder, "trained", False):
             # random-init embeddings -> arbitrary speaker labels; make that
             # loud instead of silently reporting a meaningless diarization
             for seg in segments:
                 seg["fallback"] = True
+        elif tier == "synthetic":
+            # compact embedder trained only on formant-synthesized voices
+            # (scripts/train_speaker_embedder.py) — functional, but not the
+            # voxceleb-grade model; callers can tell which ran
+            for seg in segments:
+                seg["embedder"] = "synthetic"
+        if not vad_trained:
+            # heuristic VAD ran (no trained weights found) — weaker on
+            # far-field/tonal-noise audio; tag so callers can tell
+            for seg in segments:
+                seg["vad_fallback"] = True
         return segments
 
     def _vote(

@@ -125,8 +125,69 @@ ALL_GROUPS = {
 }
 
 
+def _synthetic_conversation_rows(n: int, seed: int) -> list[dict]:
+    """Formant-synthesized multi-speaker conversations with EXACT reference
+    segments, cycling a condition grid: clean 2/3-speaker turn-taking,
+    white-noise SNR 15 dB, reverberant far-field, and overlapped turns —
+    the offline DER benchmark (VERDICT r2 #3; reference conditions are the
+    CallHome-style corpora its evaluator targets,
+    ``/root/reference/scripts/eval/evaluators/diarization.py:15-111``)."""
+    import numpy as np
+
+    from tiny_audio_tpu.utils.speech_synth import synth_conversation
+
+    conditions = [
+        {"label": "clean-2spk", "n_speakers": 2},
+        {"label": "clean-3spk", "n_speakers": 3},
+        {"label": "noisy-2spk", "n_speakers": 2, "snr_db": 15.0},
+        {"label": "reverb-2spk", "n_speakers": 2, "reverb": True},
+        {"label": "overlap-2spk", "n_speakers": 2, "overlap_prob": 0.35},
+    ]
+    rows = []
+    for i in range(n):
+        cond = conditions[i % len(conditions)]
+        rng = np.random.default_rng(seed * 1000 + i)
+        audio, segments, _ = synth_conversation(
+            duration_s=24.0, n_speakers=cond["n_speakers"],
+            seed=seed * 1000 + i,
+            overlap_prob=cond.get("overlap_prob", 0.0),
+        )
+        if cond.get("reverb"):
+            rt60, drr_db = 0.6, 0.0
+            t = np.arange(int(rt60 * SAMPLE_RATE)) / SAMPLE_RATE
+            tail = rng.standard_normal(len(t)).astype(np.float32) * np.exp(
+                -6.9 * t / rt60
+            )
+            tail /= np.sqrt(np.sum(tail**2)) + 1e-9
+            rir = tail * 10 ** (-drr_db / 20)
+            rir[0] += 1.0
+            nfft = 1 << int(np.ceil(np.log2(len(audio) + len(rir))))
+            audio = np.fft.irfft(
+                np.fft.rfft(audio, nfft) * np.fft.rfft(rir, nfft), nfft
+            )[: len(audio)].astype(np.float32)
+        if "snr_db" in cond:
+            rms = float(np.sqrt(np.mean(audio**2))) + 1e-9
+            noise = rng.standard_normal(len(audio)).astype(np.float32)
+            audio = audio + noise * rms / (10 ** (cond["snr_db"] / 20))
+        peak = float(np.max(np.abs(audio))) + 1e-9
+        audio = (0.5 * audio / peak).astype(np.float32)
+        rows.append({
+            "audio": {"array": audio, "sampling_rate": SAMPLE_RATE},
+            "condition": cond["label"],
+            "speakers": [
+                {"speaker": f"S{s['speaker']}", "start": s["start"],
+                 "end": s["end"]}
+                for s in segments
+            ],
+        })
+    return rows
+
+
 def _synthetic_eval_rows(cfg: DatasetConfig, n: int = 16, seed: int = 0):
     from tiny_audio_tpu.train.data import synthetic_dataset
+
+    if cfg.dataset_type == "diarization":
+        return _synthetic_conversation_rows(n, seed)
 
     rows = synthetic_dataset(n, seed=seed)
     if cfg.dataset_type == "alignment":
@@ -137,13 +198,6 @@ def _synthetic_eval_rows(cfg: DatasetConfig, n: int = 16, seed: int = 0):
             r["words"] = [
                 {"word": w, "start": edges[i], "end": edges[i + 1]}
                 for i, w in enumerate(words)
-            ]
-    elif cfg.dataset_type == "diarization":
-        for r in rows:
-            dur = len(r["audio"]["array"]) / SAMPLE_RATE
-            r["speakers"] = [
-                {"speaker": "A", "start": 0.0, "end": dur / 2},
-                {"speaker": "B", "start": dur / 2, "end": dur},
             ]
     return rows
 

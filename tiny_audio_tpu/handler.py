@@ -18,6 +18,11 @@ import numpy as np
 
 class EndpointHandler:
     def __init__(self, path: str = "", pipeline=None):
+        from tiny_audio_tpu.utils.compile_cache import (
+            enable_persistent_compile_cache,
+        )
+
+        enable_persistent_compile_cache()
         if pipeline is not None:
             self.pipe = pipeline
         else:
@@ -27,8 +32,9 @@ class EndpointHandler:
             self.pipe = ASRPipeline(ASRModel.from_pretrained(path))
 
     def warmup(self, seconds: Optional[float] = None,
-               longform: bool = True, batched: bool = False) -> None:
-        """AOT-compile the serving graphs at boot.
+               longform: bool = True, batched: bool = False,
+               log=print) -> float:
+        """AOT-compile the serving graphs at boot; returns total seconds.
 
         Without ``seconds``, compiles EVERY mel bucket (each bucket is a
         distinct jit shape — on this chip a cold bucket costs tens of
@@ -40,28 +46,56 @@ class EndpointHandler:
         at request time stalls every coalesced request (and, through the
         shared lock, solo requests) behind a minutes-long compile.  With
         ``seconds``, compiles just that one bucket (the round-1 behavior).
+
+        Per-graph wall seconds are reported through ``log`` (pass
+        ``lambda *_: None`` to silence); on a warm persistent cache each
+        graph logs ~a second (deserialize + layout), not minutes.
         """
+        import time
+
         from tiny_audio_tpu.ops import mel
 
+        total = 0.0
+
+        def _compile(desc: str, fn) -> None:
+            nonlocal total
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            total += dt
+            log(f"[warmup] {desc}: {dt:.1f}s")
+
         if seconds is not None:
-            self.pipe(np.zeros(int(seconds * 16000), np.float32))
-            return
+            _compile(f"solo {seconds:g}s",
+                     lambda: self.pipe(np.zeros(int(seconds * 16000),
+                                                np.float32)))
+            return total
         buckets = getattr(self.pipe.processor, "mel_buckets", (3000,))
         for frames in buckets:
             n = frames * mel.HOP_LENGTH
-            self.pipe(np.zeros(n, np.float32))
+            _compile(f"solo bucket {frames}f",
+                     lambda n=n: self.pipe(np.zeros(n, np.float32)))
             if batched:
                 for rows in self.pipe.BATCH_BUCKETS[1:]:  # 1 == solo above
-                    self.pipe.transcribe_batch(
-                        [np.zeros(n, np.float32)] * rows
+                    _compile(
+                        f"batch bucket {frames}f x{rows}",
+                        lambda n=n, rows=rows: self.pipe.transcribe_batch(
+                            [np.zeros(n, np.float32)] * rows
+                        ),
                     )
         if longform:
             # The pipeline pads chunk groups to power-of-2 batch buckets,
             # so 2/4/8 full-chunk inputs compile EVERY longform generate
             # shape (batch-1 is the regular bucket warmup above).
             for nchunks in (2, 4, 8):
-                self.pipe(np.zeros(nchunks * 3000 * mel.HOP_LENGTH,
-                                   np.float32))
+                _compile(
+                    f"longform {nchunks}-chunk",
+                    lambda nchunks=nchunks: self.pipe(
+                        np.zeros(nchunks * 3000 * mel.HOP_LENGTH, np.float32)
+                    ),
+                )
+        log(f"[warmup] total: {total:.1f}s")
+        return total
 
     def __call__(self, data: dict[str, Any]) -> dict:
         inputs = data.get("inputs")

@@ -422,6 +422,14 @@ class ASRModel:
         )
         return np.asarray(tokens)
 
+    def mel_window_frames(self) -> int:
+        """Max mel frames one encoder pass accepts (post-conv positions x
+        total conv stride; 3000 for the 30 s flagship window)."""
+        stride = 1
+        for _, _, s in self.config.encoder_conv_layers:
+            stride *= s
+        return self.config.encoder.max_source_positions * stride
+
     def generate_streaming(
         self,
         input_features,
@@ -430,10 +438,41 @@ class ASRModel:
         system_prompt: Optional[str] = None,
     ):
         """Yield decoded text fragments token-by-token, filtering <think>
-        blocks (reference asr_modeling.py:648-767)."""
+        blocks (reference asr_modeling.py:648-767).
+
+        Accepts arbitrary-length features: inputs longer than the encoder
+        window are streamed chunk-by-chunk (30 s windows re-primed with a
+        fresh prompt, the voice-agent long-form path — reference chunking
+        hooks asr_pipeline.py:204-207), yielding live partials across the
+        whole file.  Mel is computed once over the full audio and sliced
+        per window (STFT is hop-local, so slicing == per-chunk extraction
+        up to one window of boundary effect).
+        """
         input_features = jnp.asarray(input_features)
         audio_attention_mask = jnp.asarray(audio_attention_mask)
         assert input_features.shape[0] == 1
+
+        window = self.mel_window_frames()
+        n_frames_total = int(input_features.shape[-1])
+        if n_frames_total > window:
+            mask_np = np.asarray(audio_attention_mask)
+            yielded_before = False
+            for s in range(0, n_frames_total, window):
+                if int(mask_np[:, s:s + window].sum()) == 0:
+                    continue  # fully padded tail window
+                first_of_chunk = True
+                for frag in self.generate_streaming(
+                    input_features[:, :, s:s + window],
+                    audio_attention_mask[:, s:s + window],
+                    user_prompt, system_prompt,
+                ):
+                    if (first_of_chunk and yielded_before and frag
+                            and not frag[0].isspace()):
+                        frag = " " + frag
+                    first_of_chunk = False
+                    yielded_before = yielded_before or bool(frag)
+                    yield frag
+            return
 
         real_mel = int(np.asarray(audio_attention_mask).sum(axis=-1).max())
         n_audio = self._num_audio_tokens(real_mel)

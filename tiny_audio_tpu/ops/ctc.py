@@ -87,6 +87,14 @@ def ctc_backtrack(
 
     spans: list[tuple[int, float, float]] = []
     for idx, frames in enumerate(token_frames):
+        if not frames:
+            # Unreachable for a (trellis, moved) pair from the same forward
+            # pass (see invariant above); a mismatched pair from different
+            # runs should fail loudly, not with a bare min() ValueError.
+            raise ValueError(
+                f"ctc_backtrack: token {idx} got no frames — trellis/moved "
+                "matrices are inconsistent (were they produced together?)"
+            )
         start = float(min(frames))
         end = float(max(frames)) + 1.0
         spans.append((int(tokens[idx]), start, end))

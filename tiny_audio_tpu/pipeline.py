@@ -236,6 +236,27 @@ class ASRPipeline:
 
         return result
 
+    def transcribe_streaming(
+        self,
+        inputs,
+        user_prompt: Optional[str] = None,
+    ):
+        """Yield live text fragments for audio of ANY length.
+
+        Short clips stream token-by-token; long-form audio chains
+        :meth:`ASRModel.generate_streaming` across 30 s windows (fresh
+        prompt per window) so an hour-long file produces partials
+        throughout instead of one batched result at the end — the
+        pipecat/voice-agent scenario (reference generate_streaming,
+        asr_modeling.py:648-767, is batch-1/<=30 s only).
+        """
+        audio = self.extract_audio(inputs)
+        feats = self.processor.extract_features([audio["array"]])
+        yield from self.model.generate_streaming(
+            feats["input_features"], feats["audio_attention_mask"],
+            user_prompt=user_prompt,
+        )
+
     def transcribe_batch(
         self,
         audios: list,
@@ -266,10 +287,22 @@ class ASRPipeline:
                 )
             arrays.append(audio["array"])
         n_real = len(arrays)
-        bucket = next(
-            (b for b in self.BATCH_BUCKETS if b >= n_real),
-            -(-n_real // self.BATCH_BUCKETS[-1]) * self.BATCH_BUCKETS[-1],
-        )
+        cap = self.BATCH_BUCKETS[-1]
+        if n_real > cap:
+            # Split oversized batches into warmed bucket-sized sub-batches
+            # instead of inventing a rounded-up shape handler.warmup never
+            # compiled (a compile-at-request-time trap for direct callers
+            # and oversized batchers).
+            out: list[str] = []
+            for i in range(0, n_real, cap):
+                out.extend(
+                    self.transcribe_batch(
+                        audios[i:i + cap], user_prompt=user_prompt,
+                        **generate_kwargs,
+                    )
+                )
+            return out
+        bucket = next(b for b in self.BATCH_BUCKETS if b >= n_real)
         longest = max(len(a) for a in arrays)
         arrays = arrays + [
             np.zeros(longest, np.float32) for _ in range(bucket - n_real)

@@ -88,6 +88,8 @@ def make_server(
                     audio = None  # undecodable: solo path reports the error
                 limit = int(batcher.pipe.MAX_CHUNK_SECONDS * 16000)
                 if audio is not None and len(audio) <= limit:
+                    from tiny_audio_tpu.batching import BacklogFull
+
                     try:
                         # generous timeout: an unwarmed batch-bucket shape
                         # compiles for minutes on first hit, and
@@ -97,6 +99,10 @@ def make_server(
                             audio, params.get("user_prompt")
                         ).result(timeout=result_timeout_s)
                         self._send(200, {"text": text})
+                    except BacklogFull as e:
+                        # overload backpressure, not a server fault
+                        self._send(503, {"error": f"overloaded: {e}",
+                                         "retry": True})
                     except Exception as e:
                         self._send(
                             500, {"error": f"{type(e).__name__}: {e}"}
@@ -118,11 +124,20 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
     if warmup:
         print("[serve] warming up (compiling; first boot is slow, the "
               "persistent compile cache makes restarts fast)...")
-        handler.warmup(batched=dynamic_batching)
+        total = handler.warmup(batched=dynamic_batching)
+        print(f"[serve] warmup done in {total:.1f}s")
     batcher = None
     if dynamic_batching:
         from tiny_audio_tpu.batching import DynamicBatcher
 
+        cap = handler.pipe.BATCH_BUCKETS[-1]
+        if max_batch > cap:
+            # Coalesced groups beyond the largest warmed generate shape
+            # would split into cap-sized sub-batches anyway (no throughput
+            # win); clamp so the contract matches what warmup compiled.
+            print(f"[serve] clamping --max-batch {max_batch} -> {cap} "
+                  "(largest warmed batch bucket)")
+            max_batch = cap
         batcher = DynamicBatcher(handler.pipe, max_batch=max_batch,
                                  max_wait_ms=max_wait_ms)
     server = make_server(handler, host, port, batcher=batcher)

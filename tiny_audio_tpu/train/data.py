@@ -104,29 +104,78 @@ class LazyRows:
     column only (HF column access does not decode audio).
     """
 
-    def __init__(self, items: list):
+    #: HF metadata columns that carry the clip length without an audio
+    #: decode, in preference order (seconds vs samples disambiguated below)
+    _DURATION_COLUMNS = ("duration", "duration_s", "num_samples", "length")
+
+    def __init__(self, items: list, len_cache: Optional[dict] = None):
         self._items = items
-        self._len_cache: dict[int, int] = {}
+        self._len_cache: dict[int, int] = len_cache or {}
+        # per-underlying-dataset no-audio column view for metadata reads
+        self._meta_views: dict[int, Any] = {}
 
     def __len__(self) -> int:
         return len(self._items)
 
+    def _len_from_metadata(self, i: int) -> Optional[int]:
+        """Clip length from an HF duration/num_samples column — no decode.
+
+        Uses a cached audio-column-free view of the source dataset so the
+        metadata read never touches the Audio feature decoder.
+        """
+        kind, payload = self._items[i]
+        if kind == "row":
+            return None
+        ds, idx, spec = payload
+        key = id(ds)
+        if key not in self._meta_views:
+            view = None
+            cols = getattr(ds, "column_names", None) or []
+            col = next((c for c in self._DURATION_COLUMNS if c in cols), None)
+            if col is not None:
+                try:
+                    view = (ds.select_columns([col]), col)
+                except Exception:
+                    view = None
+            self._meta_views[key] = view
+        view = self._meta_views[key]
+        if view is None:
+            return None
+        try:
+            value = float(view[0][int(idx)][view[1]])
+        except Exception:
+            return None
+        # duration columns are seconds; num_samples/length are samples —
+        # disambiguate by magnitude (no real clip is < 100 samples long)
+        return int(value * SAMPLE_RATE) if value < 100.0 else int(value)
+
     def audio_len(self, i: int) -> int:
-        """Sample length in samples, decoded ONCE and memoized as an int —
-        group_by_length's sort probe would otherwise decode every clip a
-        second time per epoch just to read its length."""
+        """Sample length in samples, memoized as an int — group_by_length's
+        sort probe would otherwise decode every clip a second time per
+        epoch just to read its length.  Prefers an HF metadata column
+        (duration/num_samples) so the first epoch avoids the decode too."""
         if i not in self._len_cache:
-            row = self[int(i)]
-            audio = row.get("audio")
-            arr = audio.get("array") if isinstance(audio, dict) else audio
-            self._len_cache[i] = (
-                0 if arr is None else int(np.asarray(arr).shape[-1])
-            )
+            n = self._len_from_metadata(i)
+            if n is None:
+                row = self[int(i)]
+                audio = row.get("audio")
+                arr = audio.get("array") if isinstance(audio, dict) else audio
+                n = 0 if arr is None else int(np.asarray(arr).shape[-1])
+            self._len_cache[i] = n
         return self._len_cache[i]
 
     def __getitem__(self, i):
         if isinstance(i, slice):
-            return LazyRows(self._items[i])
+            # Carry memoized lengths through the slice (eval max_samples
+            # capping must not throw away first-epoch decode work):
+            # remap old indices to the slice's coordinate space.
+            idxs = range(*i.indices(len(self._items)))
+            remapped = {
+                new: self._len_cache[old]
+                for new, old in enumerate(idxs)
+                if old in self._len_cache
+            }
+            return LazyRows(self._items[i], len_cache=remapped)
         kind, payload = self._items[i]
         if kind == "row":
             return payload

@@ -267,6 +267,15 @@ class Trainer:
         self.out_dir = Path(config.output_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
 
+        # Persistent XLA compile cache: the sharded train/accum/update
+        # graphs compile in minutes; a restarted (resumed) run should
+        # reload them from disk, not re-trace the world.
+        from tiny_audio_tpu.utils.compile_cache import (
+            enable_persistent_compile_cache,
+        )
+
+        enable_persistent_compile_cache()
+
         # ---- mesh + sharded params
         from tiny_audio_tpu.parallel.mesh import (
             batch_sharding,

@@ -174,13 +174,17 @@ def synth_conversation(
     seed: int = 0,
     turn_s: tuple[float, float] = (1.5, 4.0),
     gap_s: tuple[float, float] = (0.3, 1.0),
+    overlap_prob: float = 0.0,
+    overlap_s: tuple[float, float] = (0.2, 0.8),
 ) -> tuple[np.ndarray, list[dict], np.ndarray]:
     """Alternating-turn multi-speaker audio.
 
     Returns ``(audio, segments, speech_mask)`` where ``segments`` is
     ``[{"speaker": int, "start": s, "end": s}]`` per turn (diarization ground
     truth) and ``speech_mask`` is the sample-level VAD ground truth.
-    Speakers get distinct (f0, vocal-tract) settings.
+    Speakers get distinct (f0, vocal-tract) settings.  With ``overlap_prob``
+    a turn may start before the previous one ends (interruption-style
+    overlapped speech, summed).
     """
     rng = np.random.default_rng(seed)
     voices = [
@@ -201,13 +205,19 @@ def synth_conversation(
             vocal_tract_scale=scale, speech_fraction=0.8,
         )
         end = min(pos + len(utt), n_total)
-        audio[pos:end] = utt[: end - pos]
-        mask[pos:end] = utt_mask[: end - pos]
+        audio[pos:end] += utt[: end - pos]
+        mask[pos:end] |= utt_mask[: end - pos]
         segments.append(
             {"speaker": spk, "start": pos / sr, "end": end / sr}
         )
-        pos = end + int(rng.uniform(*gap_s) * sr)
+        if rng.random() < overlap_prob:
+            pos = max(end - int(rng.uniform(*overlap_s) * sr), pos + 1)
+        else:
+            pos = end + int(rng.uniform(*gap_s) * sr)
         spk = (spk + 1) % n_speakers
+    peak = np.max(np.abs(audio)) + 1e-9
+    if peak > 1.0:  # overlap sums can exceed full scale
+        audio /= peak
     return audio, segments, mask
 
 
