@@ -34,7 +34,7 @@ WIN_SAMPLES = int(WINDOW_S * SR)
 N_SPEAKERS = 192
 UTTS_PER_SPEAKER = 4
 UTT_S = 3.0
-N_STEPS = 1200
+N_STEPS = 3500
 BATCH = 64
 LR = 1e-3
 SEED = 0
@@ -84,15 +84,17 @@ class SpeakerData:
         rng = self.rng
         # reuse the VAD trainer's augmentation primitives
         if not hasattr(self, "_vadmod"):
-            spec = importlib.util.spec_from_file_location(
-                "train_vad", Path(__file__).resolve().parent / "train_vad.py"
-            )
+            # robust under `python - < scripts/...` where __file__ is stdin
+            cand = Path(__file__).resolve().parent / "train_vad.py"
+            if not cand.is_file():
+                cand = Path("scripts/train_vad.py").resolve()
+            spec = importlib.util.spec_from_file_location("train_vad", cand)
             self._vadmod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(self._vadmod)
         m = self._vadmod
-        if rng.random() < 0.3:
-            rir = m.synth_rir(rng, rt60=float(rng.uniform(0.15, 0.7)),
-                              drr_db=float(rng.uniform(0.0, 12.0)))
+        if rng.random() < 0.45:
+            rir = m.synth_rir(rng, rt60=float(rng.uniform(0.15, 0.9)),
+                              drr_db=float(rng.uniform(-6.0, 12.0)))
             w = m.apply_rir(w, rir)
         if rng.random() < 0.7:
             kind = rng.integers(3)
@@ -101,7 +103,7 @@ class SpeakerData:
                      else m.pink_noise(n, rng) if kind == 1
                      else m.hum_noise(n, rng))
             rms = float(np.sqrt(np.mean(w**2))) + 1e-9
-            snr = float(rng.uniform(5.0, 25.0))
+            snr = float(rng.uniform(0.0, 25.0))
             w = w + noise * rms / (10 ** (snr / 20))
         peak = float(np.max(np.abs(w))) + 1e-9
         return (w * 10 ** (float(self.rng.uniform(-30.0, -6.0)) / 20) / peak

@@ -48,9 +48,14 @@ class TestDiarizationBenchmark:
         assert metrics["num_samples"] == 5
         assert metrics["errors"] == 0
         assert np.isfinite(metrics["corpus_der"])
-        # gate: random-init ECAPA + heuristic VAD measured ~49%; trained
-        # components must only improve it.  DER > 65% = something broke.
-        assert metrics["corpus_der"] <= 65.0, metrics
+        # Measured ladder (2026-08-17): random ECAPA + heuristic VAD 48.6%;
+        # trained VAD + 1200-step embedder ~23%; shipped trained VAD +
+        # 3500-step embedder 0.12%.  Gate by tier so a missing weights file
+        # degrades to the looser bound instead of a spurious failure.
+        if metrics.get("ecapa_tier") in ("synthetic", "speechbrain"):
+            assert metrics["corpus_der"] <= 10.0, metrics
+        else:
+            assert metrics["corpus_der"] <= 65.0, metrics
 
     def test_rows_are_well_formed(self):
         from tiny_audio_tpu.eval.datasets import _synthetic_conversation_rows

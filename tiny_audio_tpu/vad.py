@@ -218,11 +218,15 @@ class NeuralVAD:
                 probs[start:end] = p[start - s0: end - s0]
                 start = end
             return probs
-        pad_samples = bucket * HOP + (WIN - HOP)
-        buf = np.zeros(pad_samples, np.float32)
-        n_copy = min(len(audio), pad_samples)
-        buf[:n_copy] = audio[:n_copy]
-        feats = vad_logmel(buf[None, :], n_frames=bucket)
+        # Features over the REAL frames only, THEN pad to the bucket: the
+        # per-clip mean normalization inside vad_logmel must not see bucket
+        # padding (zeros drag the log-mel mean down and shift every real
+        # frame's features — a train/inference mismatch that measurably
+        # hurt F1), and the network is causal (left-padded convs + forward
+        # GRU), so trailing pad frames cannot affect real frames' logits.
+        feats = np.asarray(vad_logmel(audio[None, :], n_frames=n_frames))
+        if bucket > n_frames:
+            feats = np.pad(feats, ((0, 0), (0, bucket - n_frames), (0, 0)))
         logits = np.asarray(self._forward(self.params, feats))[0]
         return 1.0 / (1.0 + np.exp(-logits[:n_frames]))
 
