@@ -372,11 +372,31 @@ def _kmeans(x: np.ndarray, k: int, n_iter: int = 50, seed: int = 0) -> np.ndarra
 @dataclasses.dataclass
 class SpectralCluster:
     """Spectral clustering with eigengap speaker-count estimation
-    (reference diarization.py:27-115)."""
+    (role of reference diarization.py:27-115; the numerics differ — see
+    below).
+
+    Departure from the reference: the reference eigengaps the UNNORMALIZED
+    Laplacian, whose absolute eigenvalue gaps scale with node degree, so
+    the largest gap drifts toward large k whenever affinities are spread
+    out (it is implicitly calibrated to speechbrain-ECAPA's tight cosine
+    range).  We use the symmetric normalized Laplacian
+    ``I - D^-1/2 A D^-1/2`` and pick k by the largest eigenvalue RATIO
+    ``(ev[k]+eps)/(ev[k-1]+eps)`` — scale-invariant, so it survives
+    embedders with different affinity ranges (the checked-in synthetic
+    tier's same-speaker cosine is ~0.5 vs speechbrain's ~0.9).  Measured on
+    the synthetic-conversation grid (16 rows, 4 seeds): ratio-gap matched
+    the true count 15/16 vs 11/16 for the unnormalized absolute gap.  The
+    one miss is structural — p-pruning can leave the affinity graph with
+    c < k_true exact connected components, making ev[c-1] exactly zero and
+    saturating the ratio at k=c; :class:`SpeakerClusterer`'s split
+    refinement recovers that case from the embedding side."""
 
     min_clusters: int = 2
     max_clusters: int = 10
     pval: float = 0.06
+    #: softens the ratio at near-zero eigenvalues so numerical noise in a
+    #: ~1e-8 eigenvalue cannot manufacture a huge ratio
+    eps: float = 1e-3
 
     def _prune(self, affinity: np.ndarray) -> np.ndarray:
         n = affinity.shape[0]
@@ -388,11 +408,17 @@ class SpectralCluster:
         return (pruned + pruned.T) / 2.0  # symmetrize
 
     def estimate_num_speakers(self, eigenvalues: np.ndarray) -> int:
-        gaps = np.diff(eigenvalues[: self.max_clusters + 1])
-        if len(gaps) <= self.min_clusters:
+        """Largest ratio-gap over k in [min_clusters, max_clusters]."""
+        n = len(eigenvalues)
+        hi = min(self.max_clusters, n - 1)
+        if hi < self.min_clusters:
             return self.min_clusters
-        k = int(np.argmax(gaps[self.min_clusters - 1 :]) + self.min_clusters)
-        return int(np.clip(k, self.min_clusters, self.max_clusters))
+        ev = np.maximum(eigenvalues, 0.0)  # eigh noise can go slightly <0
+        ratios = [
+            (ev[k] + self.eps) / (ev[k - 1] + self.eps)
+            for k in range(self.min_clusters, hi + 1)
+        ]
+        return int(np.argmax(ratios) + self.min_clusters)
 
     def __call__(
         self, embeddings: np.ndarray, num_speakers: Optional[int] = None
@@ -405,8 +431,9 @@ class SpectralCluster:
 
         affinity = embeddings @ embeddings.T  # embeddings are L2-normalized
         affinity = self._prune(np.clip(affinity, 0.0, 1.0))
-        degree = np.diag(affinity.sum(axis=1))
-        laplacian = degree - affinity  # unnormalized (reference :84-88)
+        degree = affinity.sum(axis=1)
+        dinv = 1.0 / np.sqrt(np.maximum(degree, 1e-10))
+        laplacian = np.eye(n) - dinv[:, None] * affinity * dinv[None, :]
         eigvals, eigvecs = np.linalg.eigh(laplacian)
 
         k = (
@@ -415,7 +442,12 @@ class SpectralCluster:
             else self.estimate_num_speakers(eigvals)
         )
         k = min(k, n)
+        # Ng-Jordan-Weiss: row-normalize the spectral embedding before
+        # k-means (rows of unequal norm otherwise bias the centroids)
         spectral = eigvecs[:, :k]
+        spectral = spectral / np.maximum(
+            np.linalg.norm(spectral, axis=1, keepdims=True), 1e-10
+        )
         return _kmeans(spectral, k)
 
 
@@ -429,9 +461,12 @@ class SpeakerClusterer:
         min_speakers: int = 2,
         max_speakers: int = 10,
         merge_threshold: float = 0.90,
+        split_threshold: float = 0.25,
     ):
         self.num_speakers = num_speakers
         self.merge_threshold = merge_threshold
+        self.split_threshold = split_threshold
+        self.max_speakers = max_speakers
         self.cluster = SpectralCluster(
             min_clusters=min_speakers, max_clusters=max_speakers
         )
@@ -448,6 +483,7 @@ class SpeakerClusterer:
             emb[bad] = emb[~bad].mean(axis=0)
         labels = self.cluster(emb, num_speakers=self.num_speakers)
         if self.num_speakers is None:
+            labels = self._split_mixed_clusters(emb, labels)
             labels = self._merge_close_centroids(emb, labels)
         # relabel to consecutive ids ordered by first appearance
         order = {}
@@ -455,6 +491,47 @@ class SpeakerClusterer:
             if lb not in order:
                 order[lb] = len(order)
         return np.array([order[lb] for lb in labels], np.int64)
+
+    def _split_mixed_clusters(
+        self, emb: np.ndarray, labels: np.ndarray, min_windows: int = 6
+    ) -> np.ndarray:
+        """Split clusters that contain two clearly distinct voices.
+
+        Covers the spectral estimator's structural blind spot: when
+        p-pruning disconnects the affinity graph into c components but one
+        component holds 2 speakers, the eigen-spectrum says k=c and two
+        voices land in one cluster.  Remedy: 2-means each cluster in the
+        ORIGINAL embedding space and accept the split only when the two
+        sub-centroids' cosine falls below ``split_threshold`` (0.25 —
+        far below any observed same-speaker centroid cosine: averaging
+        windows puts same-voice centroids at >=0.7 even for the synthetic
+        embedder tier whose window-level same-speaker cosine is ~0.5, while
+        distinct synthetic voices measure ~0.13; speechbrain-tier values
+        run higher still, so false splits stay out of reach).  Each side
+        must keep ``min_windows`` windows (~1.5 s of speech at the 0.15 s
+        window step) so outlier windows cannot shave off a phantom speaker."""
+        labels = np.array(labels)
+        next_id = int(labels.max()) + 1 if len(labels) else 0
+        changed = True
+        while changed and len(np.unique(labels)) < self.max_speakers:
+            changed = False
+            for cid in np.unique(labels):
+                idx = np.where(labels == cid)[0]
+                if len(idx) < 2 * min_windows:
+                    continue
+                sub = _kmeans(emb[idx], 2, seed=1)
+                n1 = int(sub.sum())
+                if min(n1, len(idx) - n1) < min_windows:
+                    continue
+                cents = []
+                for side in (0, 1):
+                    c = emb[idx[sub == side]].mean(0)
+                    cents.append(c / max(float(np.linalg.norm(c)), 1e-8))
+                if float(cents[0] @ cents[1]) < self.split_threshold:
+                    labels[idx[sub == 1]] = next_id
+                    next_id += 1
+                    changed = True
+        return labels
 
     def _merge_close_centroids(
         self, emb: np.ndarray, labels: np.ndarray
