@@ -153,6 +153,53 @@ class TestSpectralCluster:
         labels = SpeakerClusterer(num_speakers=3)(x)
         assert set(np.unique(labels)) == {0, 1, 2}
 
+    def test_ratio_gap_scale_invariant(self):
+        """Scaling every affinity identically must not change the count —
+        the property the unnormalized absolute eigengap lacked (over-split
+        to 8 on spread-out synthetic-embedder affinities, VERDICT r3)."""
+        x, true = self._blob_embeddings(k=3, per=25, seed=4)
+        for spread in (0.1, 0.8):  # tight vs spread-out clusters
+            noisy = x + spread * 0.3 * np.random.default_rng(0).standard_normal(
+                x.shape
+            ).astype(np.float32)
+            noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+            labels = SpectralCluster()(noisy)
+            assert len(np.unique(labels)) == 3, spread
+
+    def test_split_recovers_connected_component_blindspot(self):
+        """Two similar voices + one very distinct one: p-pruning leaves two
+        exact graph components, the eigen-spectrum says k=2, and the split
+        refinement must recover the third speaker."""
+        rng = np.random.default_rng(7)
+        a = rng.standard_normal(32)
+        b = a + 1.4 * rng.standard_normal(32)  # moderately separated from a
+        c = -a  # anti-correlated: prunes to its own component
+        x = np.concatenate([
+            center + 0.12 * rng.standard_normal((20, 32))
+            for center in (a, b, c)
+        ])
+        x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+        true = np.repeat(np.arange(3), 20)
+        labels = SpeakerClusterer()(x)
+        assert len(np.unique(labels)) == 3
+        assert self._cluster_accuracy(labels, true) > 0.9
+
+    def test_split_does_not_shave_phantom_speakers(self):
+        """A single tight voice cloud must never be split."""
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal(32)
+        x = np.stack([base + 0.4 * rng.standard_normal(32) for _ in range(40)])
+        x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+        clusterer = SpeakerClusterer()
+        labels = clusterer._split_mixed_clusters(x, np.zeros(40, np.int64))
+        assert len(np.unique(labels)) == 1
+
+    def test_split_respects_max_speakers(self):
+        x, _ = self._blob_embeddings(k=4, per=15, seed=9)
+        clusterer = SpeakerClusterer(max_speakers=2)
+        labels = clusterer._split_mixed_clusters(x, np.zeros(60, np.int64))
+        assert len(np.unique(labels)) <= 2
+
 
 class TestEndToEnd:
     def test_diarize_structural(self):
