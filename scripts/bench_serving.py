@@ -197,6 +197,112 @@ def bench_backpressure(handler, pipe, short: bytes) -> dict:
     return out
 
 
+def _fire_open(port: int, requests: list, starts: list):
+    """Open-loop load: request i fires at ``starts[i]`` seconds regardless
+    of completions (the closed-loop ``fire`` hides queueing delay — an
+    arrival during a running batch is exactly what this measures)."""
+    lats, codes = [], []
+    lock = threading.Lock()
+    t_origin = time.perf_counter()
+
+    def one(body, query, at):
+        delay = t_origin + at - time.perf_counter()
+        if delay > 0:
+            time.sleep(delay)
+        url = f"http://127.0.0.1:{port}/transcribe"
+        if query:
+            url += "?" + query
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": "application/pcm-f32"}
+        )
+        t0 = time.perf_counter()
+        try:
+            with urllib.request.urlopen(req, timeout=900) as r:
+                json.loads(r.read())
+                code = r.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        lat = time.perf_counter() - t0
+        with lock:
+            lats.append(lat)
+            codes.append(code)
+
+    threads = [
+        threading.Thread(target=one, args=(b, q, at))
+        for (b, q), at in zip(requests, starts)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return time.perf_counter() - t_origin, lats, codes
+
+
+def bench_continuous(handler, pipe, short: bytes) -> dict:
+    """Continuous (slot) engine vs dynamic batcher.
+
+    With random weights every request decodes the full 128-token budget,
+    so the engine's straggler-elimination does not show here (it needs
+    real-checkpoint EOS variance); what IS measurable offline is arrival
+    latency — a request arriving mid-batch waits a full batch decode under
+    the dynamic batcher but joins the very next chunk under the engine.
+    Measured via open-loop Poisson arrivals at ~0.75x the batched closed-
+    loop capacity."""
+    from tiny_audio_tpu.continuous import ContinuousEngine
+
+    arr = np.frombuffer(short, np.float32)
+    mel_bucket = None  # warm only the clip's bucket
+    from tiny_audio_tpu.processing import bucket_frames
+
+    mel_bucket = bucket_frames(
+        int(len(arr) / 160) + 1, pipe.processor.mel_buckets
+    )
+
+    out = {}
+    # --- capacity probe on the dynamic batcher (also warms its shapes)
+    batcher = DynamicBatcher(pipe, max_batch=16, max_wait_ms=25)
+    server, port = _start_server(handler, pipe, batcher)
+    for bucket in ASRPipeline.BATCH_BUCKETS:
+        pipe.transcribe_batch([arr] * bucket)
+    wall, _, _ = fire(port, [(short, "")] * N_REQ, CONCURRENCY)
+    cap_req_s = N_REQ / wall
+    rate = 0.75 * cap_req_s
+    rng = np.random.default_rng(3)
+    starts = np.cumsum(rng.exponential(1.0 / rate, N_REQ)).tolist()
+
+    wall, lats, codes = _fire_open(port, [(short, "")] * N_REQ, starts)
+    server.shutdown()
+    batcher.close()
+    out["dynamic_open_loop"] = {
+        "req_per_s": round(N_REQ / wall, 2),
+        **_percentiles(lats),
+        "non200": sum(1 for c in codes if c != 200),
+    }
+    print("dynamic_open_loop", out["dynamic_open_loop"], flush=True)
+
+    # --- continuous engine, same arrival trace
+    engine = ContinuousEngine(pipe, n_slots=16, chunk_steps=8, start=False)
+    engine.warmup(buckets=(mel_bucket,))
+    engine.start()
+    server, port = _start_server(handler, pipe, engine)
+    fire(port, [(short, "")] * 4, 4)  # settle
+    wall_c, lats_c, codes_c = _fire_open(port, [(short, "")] * N_REQ, starts)
+    # closed-loop throughput for the capacity comparison
+    wall_cl, _, _ = fire(port, [(short, "")] * N_REQ, CONCURRENCY)
+    server.shutdown()
+    engine.close()
+    out["continuous_open_loop"] = {
+        "req_per_s": round(N_REQ / wall_c, 2),
+        **_percentiles(lats_c),
+        "non200": sum(1 for c in codes_c if c != 200),
+    }
+    out["continuous_closed_loop_req_per_s"] = round(N_REQ / wall_cl, 2)
+    out["dynamic_closed_loop_req_per_s"] = round(cap_req_s, 2)
+    out["offered_rate_req_per_s"] = round(rate, 2)
+    print("continuous_open_loop", out["continuous_open_loop"], flush=True)
+    return out
+
+
 def bench_streaming_longform(pipe, seconds: float = 120.0) -> dict:
     """Sustained RTF + per-chunk TTFB for chained 30 s-window streaming."""
     rng = np.random.default_rng(2)
@@ -256,6 +362,8 @@ def main() -> None:
     if which in ("all", "mixes"):
         report["mixes"] = bench_mixes(handler, pipe, short, long_clip)
         report["backpressure"] = bench_backpressure(handler, pipe, short)
+    if which in ("all", "continuous"):
+        report["continuous"] = bench_continuous(handler, pipe, short)
     if which in ("all", "streaming"):
         report["streaming_longform"] = bench_streaming_longform(pipe)
     print(json.dumps(report))

@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="disable dynamic request coalescing")
     srv.add_argument("--max-batch", type=int, default=16)
     srv.add_argument("--max-wait-ms", type=float, default=20.0)
+    srv.add_argument("--engine", choices=("dynamic", "continuous", "none"),
+                     default="dynamic",
+                     help="short-clip batching: coalesced uniform batches "
+                          "(dynamic) or slot-based mid-flight joins "
+                          "(continuous)")
     srv.set_defaults(func=_cmd_serve)
 
     demo = sub.add_parser("demo", help="Launch the Gradio demo")
@@ -116,7 +121,8 @@ def _cmd_serve(args) -> int:
     serve(args.model, host=args.host, port=args.port,
           warmup=not args.no_warmup,
           dynamic_batching=not args.no_batching,
-          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+          engine=args.engine)
     return 0
 
 

@@ -703,3 +703,130 @@ def generate_beams(
         state["tokens"], best[:, None, None], axis=1
     )[:, 0]
     return tokens, jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Continuous batching (slot-based decode) — device ops
+# ---------------------------------------------------------------------------
+# The engine lives in tiny_audio_tpu/continuous.py; these are its three
+# jitted graphs.  Design: N persistent decode slots share one KV cache
+# [L, N, S, Hkv, D]; each slot sits at its OWN length (``pos`` [N]), so a
+# request can join the moment a slot frees instead of waiting for the whole
+# batch (the uniform-batch ``generate_tokens`` early-exits only when ALL
+# rows finish).  The per-step cache write becomes a (batch, seq) scatter —
+# decoder.Qwen3Decoder supports array ``cache_index`` for exactly this.
+# The reference has no serving engine at all (single-request HF endpoint
+# handler, /root/reference/tiny_audio/handler.py); this is TPU-native
+# serving machinery in the vein of slot-based TPU LLM servers.
+
+
+@functools.partial(jax.jit, static_argnames=("decoder",))
+def prefill_prompt_cache(decoder, variables, inputs_embeds):
+    """Prefill ONLY: prompt cache (sized to the prompt bucket) + greedy
+    first token.  The engine scatters the result into free slots.
+
+    Greedy-default semantics only (the serving default: no repetition
+    penalty / ngram ban / sampling — ``ContinuousEngine`` refuses other
+    configs up front)."""
+    b, t, _ = inputs_embeds.shape
+    s = -(-t // 16) * 16  # 16-align like _generate_tokens
+    cache = decoder.init_cache(b, s, dtype=decoder.dtype)
+    positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+    logits, cache = decoder.apply(
+        variables, inputs_embeds, positions,
+        padding_mask=jnp.ones((b, t), jnp.int32),
+        cache=cache, cache_index=0, last_logit_only=True,
+    )
+    tok0 = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(
+        jnp.int32
+    )
+    return tok0, cache
+
+
+def init_slot_state(decoder, n_slots: int, s_max: int, pad_token_id: int):
+    """Fresh engine state: all slots empty/finished."""
+    return {
+        "cache": decoder.init_cache(n_slots, s_max, dtype=decoder.dtype),
+        "cur": jnp.full((n_slots,), pad_token_id, jnp.int32),
+        # next cache write index per slot == current sequence length
+        "pos": jnp.zeros((n_slots,), jnp.int32),
+        "start": jnp.zeros((n_slots,), jnp.int32),  # prompt length
+        "finished": jnp.ones((n_slots,), bool),
+    }
+
+
+@functools.partial(jax.jit, donate_argnames=("state",))
+def insert_slots(state, prompt_cache, first_toks, slot_ids, t_real,
+                 first_finished):
+    """Scatter ``b`` prefilled requests into slots ``slot_ids``.
+
+    ``prompt_cache`` arrays are [L, b, s_p, ...] with s_p <= s_max; the
+    cache copy writes each row's full [L, s_p, Hkv, D] block once (~6 MB
+    int8 per row at serving shapes — once per request, not per step)."""
+    s_p = prompt_cache["k"].shape[2]
+    cache = dict(state["cache"])
+    for name, buf in prompt_cache.items():
+        cache[name] = state["cache"][name].at[:, slot_ids, :s_p].set(
+            buf, unique_indices=True
+        )
+    return {
+        "cache": cache,
+        "cur": state["cur"].at[slot_ids].set(first_toks),
+        "pos": state["pos"].at[slot_ids].set(t_real),
+        "start": state["start"].at[slot_ids].set(t_real),
+        "finished": state["finished"].at[slot_ids].set(first_finished),
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("decoder", "gen", "n_steps"),
+    donate_argnames=("state",),
+)
+def decode_chunk(decoder, variables, state, gen: GenerationConfig,
+                 n_steps: int):
+    """Run ``n_steps`` greedy decode steps over all slots; returns
+    (state, tokens [N, n_steps]).  Finished/empty slots emit pad and do not
+    advance.  The host drains tokens after each chunk, resolves finished
+    slots, and inserts new work — at most ``n_steps - 1`` wasted steps per
+    finished row between drains."""
+    s_max = state["cache"]["k"].shape[2]
+
+    def is_eos(tok):
+        hit = jnp.zeros_like(tok, dtype=bool)
+        for eos in gen.eos_token_ids:
+            hit |= tok == eos
+        return hit
+
+    def body(st, _):
+        embeds = decoder.apply(
+            variables, st["cur"][:, None], method=Qwen3Decoder.embed
+        )
+        kv_valid = (
+            jnp.arange(s_max)[None, :] < st["pos"][:, None]
+        ).astype(jnp.int32)
+        logits, new_cache = decoder.apply(
+            variables, embeds, st["pos"][:, None],
+            step_kv_valid=kv_valid, cache=st["cache"],
+            cache_index=st["pos"],
+        )
+        tok = jnp.argmax(logits[:, 0].astype(jnp.float32), axis=-1).astype(
+            jnp.int32
+        )
+        tok = jnp.where(st["finished"], gen.pad_token_id, tok)
+        # invariant: pos = start + g - 1 with g = tokens generated so far
+        # (the prefill emitted the first one); this step makes it g+1 =
+        # pos - start + 2
+        budget_done = (st["pos"] - st["start"] + 2) >= gen.max_new_tokens
+        overflow = st["pos"] + 1 >= s_max  # defensive: never write past S
+        finished = st["finished"] | is_eos(tok) | budget_done | overflow
+        pos = jnp.where(st["finished"], st["pos"], st["pos"] + 1)
+        return {
+            "cache": new_cache,
+            "cur": tok,
+            "pos": pos,
+            "start": st["start"],
+            "finished": finished,
+        }, tok
+
+    state, toks = jax.lax.scan(body, state, None, length=n_steps)
+    return state, toks.T  # [N, n_steps]

@@ -229,8 +229,13 @@ class Qwen3Decoder(nn.Module):
                 )
             else:
                 layer_cache = (cache["k"], cache["v"])
+        # Per-row cache_index ([B] array, continuous batching) cannot feed
+        # the length-aware Pallas decode kernel's scalar kv_len — pass None
+        # so attention takes the masked XLA path (the production default).
+        per_row_index = getattr(cache_index, "ndim", 0) == 1
         x, fresh_kv = self.layers(
-            x, layer_cache, cos, sin, padding_mask, step_kv_valid, cache_index
+            x, layer_cache, cos, sin, padding_mask, step_kv_valid,
+            None if per_row_index else cache_index,
         )
         x = self.norm(x)
         if last_logit_only:
@@ -245,29 +250,40 @@ class Qwen3Decoder(nn.Module):
         new_cache = None
         if cache is not None:
             # single write for all layers: fresh_kv is [L, B, T, Hkv, D]
+            if per_row_index:
+                # continuous-batching decode (T==1): each slot sits at its
+                # own length, so the write is a scatter over (batch, seq)
+                # instead of a scalar-index dynamic_update_slice.  Cost is
+                # identical to the DUS (0.003 vs 0.002 ms/step at b48
+                # serving shapes — each step writes only ~2.8 MB;
+                # scripts/bench_scatter_write.py)
+                rows = jnp.arange(fresh_kv[0].shape[1])
+
+                def write(buf, val):  # buf [L,B,S,...], val [L,B,...]
+                    return buf.at[:, rows, cache_index].set(
+                        val[:, :, 0], unique_indices=True
+                    )
+            else:
+                idx5 = (0, 0, cache_index, 0, 0)
+                idx4 = (0, 0, cache_index, 0)
+
+                def write(buf, val):
+                    return jax.lax.dynamic_update_slice(
+                        buf, val, idx5 if val.ndim == 5 else idx4
+                    )
             if cfg.kv_cache_dtype == "int8":
                 k_q, k_s = quantize_kv(fresh_kv[0])
                 v_q, v_s = quantize_kv(fresh_kv[1])
-                idx5 = (0, 0, cache_index, 0, 0)
-                idx4 = (0, 0, cache_index, 0)
                 new_cache = {
-                    "k": jax.lax.dynamic_update_slice(cache["k"], k_q, idx5),
-                    "v": jax.lax.dynamic_update_slice(cache["v"], v_q, idx5),
-                    "k_scale": jax.lax.dynamic_update_slice(
-                        cache["k_scale"], k_s, idx4
-                    ),
-                    "v_scale": jax.lax.dynamic_update_slice(
-                        cache["v_scale"], v_s, idx4
-                    ),
+                    "k": write(cache["k"], k_q),
+                    "v": write(cache["v"], v_q),
+                    "k_scale": write(cache["k_scale"], k_s),
+                    "v_scale": write(cache["v_scale"], v_s),
                 }
             else:
                 new_cache = {
-                    "k": jax.lax.dynamic_update_slice(
-                        cache["k"], fresh_kv[0], (0, 0, cache_index, 0, 0)
-                    ),
-                    "v": jax.lax.dynamic_update_slice(
-                        cache["v"], fresh_kv[1], (0, 0, cache_index, 0, 0)
-                    ),
+                    "k": write(cache["k"], fresh_kv[0]),
+                    "v": write(cache["v"], fresh_kv[1]),
                 }
         return (logits if logits is not None else x), new_cache
 

@@ -117,17 +117,46 @@ def make_server(
 
 def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
           warmup: bool = True, dynamic_batching: bool = True,
-          max_batch: int = 16, max_wait_ms: float = 20.0) -> None:
+          max_batch: int = 16, max_wait_ms: float = 20.0,
+          engine: str = "dynamic") -> None:
+    """``engine``: short-clip batching strategy.
+
+    - ``"dynamic"`` — :class:`~tiny_audio_tpu.batching.DynamicBatcher`:
+      coalesce arrivals into uniform batched generate calls.
+    - ``"continuous"`` — :class:`~tiny_audio_tpu.continuous
+      .ContinuousEngine`: slot-based decode; requests join mid-flight,
+      finished rows free immediately (lower p99 under mixed-length load).
+      Falls back to ``dynamic`` when the model's generation config is not
+      the greedy serving default.
+    - ``"none"`` — lock-serialized solo path only.
+    """
     from tiny_audio_tpu.handler import EndpointHandler
 
+    if not dynamic_batching:  # legacy flag: --no-batching
+        engine = "none"
     handler = EndpointHandler(model_path)
     if warmup:
         print("[serve] warming up (compiling; first boot is slow, the "
               "persistent compile cache makes restarts fast)...")
-        total = handler.warmup(batched=dynamic_batching)
+        total = handler.warmup(batched=engine == "dynamic")
         print(f"[serve] warmup done in {total:.1f}s")
     batcher = None
-    if dynamic_batching:
+    if engine == "continuous":
+        from tiny_audio_tpu.continuous import ContinuousEngine
+
+        try:
+            batcher = ContinuousEngine(
+                handler.pipe, n_slots=max_batch, start=False
+            )
+        except ValueError as e:
+            print(f"[serve] continuous engine unavailable ({e}); "
+                  "falling back to dynamic batching")
+            engine = "dynamic"
+        else:
+            if warmup:
+                batcher.warmup()
+            batcher.start()
+    if engine == "dynamic":
         from tiny_audio_tpu.batching import DynamicBatcher
 
         cap = handler.pipe.BATCH_BUCKETS[-1]
@@ -141,6 +170,8 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
         batcher = DynamicBatcher(handler.pipe, max_batch=max_batch,
                                  max_wait_ms=max_wait_ms)
     server = make_server(handler, host, port, batcher=batcher)
-    print(f"[serve] listening on {host}:{port}"
-          + (f" (dynamic batching <= {max_batch})" if batcher else ""))
+    mode = {"dynamic": f" (dynamic batching <= {max_batch})",
+            "continuous": f" (continuous batching, {max_batch} slots)",
+            "none": ""}[engine]
+    print(f"[serve] listening on {host}:{port}{mode}")
     server.serve_forever()
