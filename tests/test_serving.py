@@ -87,6 +87,50 @@ class TestHTTPServer:
         assert e.value.code == 404
 
 
+class TestShardedServing:
+    @pytest.mark.slow
+    def test_tp2_handler_matches_single_device(self):
+        """serve --tp 2: the sharded handler's transcript must equal the
+        unsharded one (GSPMD changes layout, not math — same contract as
+        tests/test_sharded_inference.py, but through the serving entry)."""
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        audio = (np.random.default_rng(7).standard_normal(12000) * 0.1
+                 ).astype(np.float32)
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        plain = EndpointHandler(pipeline=ASRPipeline(model))
+        want = plain({"inputs": audio})["text"]
+
+        model2 = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        sharded = EndpointHandler(
+            pipeline=ASRPipeline(model2), tp=2, dp=2
+        )
+        assert sharded.mesh is not None
+        assert sharded.mesh.devices.shape == (2, 2)
+        got = sharded({"inputs": audio})["text"]
+        assert got == want
+
+        # and through the HTTP server — pipeline calls run on a DIFFERENT
+        # thread, so this proves no thread-local mesh context is required
+        # (the params' NamedShardings carry the mesh)
+        server = make_server(sharded, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/transcribe", data=audio.tobytes(),
+                headers={"Content-Type": "application/pcm-f32"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                body = json.loads(r.read())
+            assert body["text"] == want
+        finally:
+            server.shutdown()
+
+
 class TestPipecat:
     def test_pcm16_conversion(self):
         pcm = np.array([0, 16384, -32768, 32767], np.int16).tobytes()

@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="short-clip batching: coalesced uniform batches "
                           "(dynamic) or slot-based mid-flight joins "
                           "(continuous)")
+    srv.add_argument("--tp", type=int, default=1,
+                     help="tensor-parallel degree: shard the towers over "
+                          "tp chips (token-exact vs single-device)")
+    srv.add_argument("--dp", type=int, default=None,
+                     help="data-parallel mesh axis (default 1)")
     srv.set_defaults(func=_cmd_serve)
 
     demo = sub.add_parser("demo", help="Launch the Gradio demo")
@@ -122,7 +127,7 @@ def _cmd_serve(args) -> int:
           warmup=not args.no_warmup,
           dynamic_batching=not args.no_batching,
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-          engine=args.engine)
+          engine=args.engine, tp=args.tp, dp=args.dp)
     return 0
 
 

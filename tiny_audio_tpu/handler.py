@@ -17,7 +17,12 @@ import numpy as np
 
 
 class EndpointHandler:
-    def __init__(self, path: str = "", pipeline=None):
+    def __init__(self, path: str = "", pipeline=None, tp: int = 1,
+                 dp: Optional[int] = None):
+        """``tp``/``dp``: shard the towers over a (dp, tp) device mesh for
+        multi-chip serving (GSPMD over ICI — parallel/mesh.py rules; the
+        tp-sharded generate is token-exact vs single-device,
+        tests/test_sharded_inference.py).  Defaults stay single-device."""
         from tiny_audio_tpu.utils.compile_cache import (
             enable_persistent_compile_cache,
         )
@@ -30,6 +35,25 @@ class EndpointHandler:
             from tiny_audio_tpu.pipeline import ASRPipeline
 
             self.pipe = ASRPipeline(ASRModel.from_pretrained(path))
+        self.mesh = None
+        if tp > 1 or (dp or 1) > 1:
+            import jax
+
+            from tiny_audio_tpu.parallel.mesh import make_mesh, shard_params
+
+            # serving default dp=1: use exactly dp*tp chips (a lone server
+            # should not silently claim every chip on the host for dp)
+            dp = dp or 1
+            self.mesh = make_mesh(
+                dp=dp, tp=tp, devices=jax.devices()[: dp * tp]
+            )
+            # no mesh context needed anywhere (jax.set_mesh is thread-local
+            # and HTTP/batcher/engine threads all run pipeline calls): the
+            # params' NamedShardings carry the mesh, and GSPMD propagates
+            # layouts from them through every jitted graph
+            self.pipe.model.params = shard_params(
+                self.pipe.model.params, self.mesh
+            )
 
     def warmup(self, seconds: Optional[float] = None,
                longform: bool = True, batched: bool = False,

@@ -118,7 +118,8 @@ def make_server(
 def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
           warmup: bool = True, dynamic_batching: bool = True,
           max_batch: int = 16, max_wait_ms: float = 20.0,
-          engine: str = "dynamic") -> None:
+          engine: str = "dynamic", tp: int = 1,
+          dp: Optional[int] = None) -> None:
     """``engine``: short-clip batching strategy.
 
     - ``"dynamic"`` — :class:`~tiny_audio_tpu.batching.DynamicBatcher`:
@@ -134,7 +135,9 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
 
     if not dynamic_batching:  # legacy flag: --no-batching
         engine = "none"
-    handler = EndpointHandler(model_path)
+    handler = EndpointHandler(model_path, tp=tp, dp=dp)
+    if handler.mesh is not None:
+        print(f"[serve] towers sharded over mesh {dict(zip(handler.mesh.axis_names, handler.mesh.devices.shape))}")
     if warmup:
         print("[serve] warming up (compiling; first boot is slow, the "
               "persistent compile cache makes restarts fast)...")
