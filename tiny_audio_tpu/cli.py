@@ -77,6 +77,19 @@ def build_parser() -> argparse.ArgumentParser:
                      help="data-parallel mesh axis (default 1)")
     srv.set_defaults(func=_cmd_serve)
 
+    rt = sub.add_parser(
+        "realtime",
+        help="Realtime websocket transcription server (PCM16 in, "
+             "VAD-endpointed Turn events out)",
+    )
+    rt.add_argument("-m", "--model", required=True)
+    rt.add_argument("--host", default="0.0.0.0")
+    rt.add_argument("--port", type=int, default=8765)
+    rt.add_argument("--no-warmup", action="store_true")
+    rt.add_argument("--partial-every-s", type=float, default=1.0,
+                    help="min seconds between partial transcripts per turn")
+    rt.set_defaults(func=_cmd_realtime)
+
     demo = sub.add_parser("demo", help="Launch the Gradio demo")
     demo.add_argument("-m", "--model", required=True)
     demo.add_argument("--share", action="store_true")
@@ -128,6 +141,15 @@ def _cmd_serve(args) -> int:
           dynamic_batching=not args.no_batching,
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
           engine=args.engine, tp=args.tp, dp=args.dp)
+    return 0
+
+
+def _cmd_realtime(args) -> int:
+    from tiny_audio_tpu.realtime import serve_realtime
+
+    serve_realtime(args.model, host=args.host, port=args.port,
+                   warmup=not args.no_warmup,
+                   partial_every_s=args.partial_every_s)
     return 0
 
 

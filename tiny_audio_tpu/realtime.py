@@ -1,0 +1,370 @@
+"""Realtime WebSocket transcription: continuous audio in, turn transcripts out.
+
+The reference consumes realtime ASR only as a *client* of AssemblyAI's v3
+streaming API (reference scripts/eval/evaluators/asr.py:271-352); it ships no
+server of its own.  Here the framework IS the server: 16 kHz PCM16 frames
+stream in over a websocket, the causal neural VAD (:mod:`tiny_audio_tpu.vad`)
+segments speech into turns online, and each turn is transcribed on-TPU —
+partial transcripts while the speaker is still talking, a final one when the
+endpointer closes the turn.
+
+The wire protocol is the AssemblyAI-v3 subset this repo's own eval client
+already speaks (eval/evaluators/asr.py:160-225):
+
+    client -> binary frames   16-bit LE mono PCM (any chunking)
+    client -> {"type": "Terminate"}          flush + end session
+    client -> {"type": "ForceEndpoint"}      close the current turn now
+    server -> {"type": "Begin", "id": ...}
+    server -> {"type": "Turn", "turn_order": n, "transcript": ...,
+               "end_of_turn": bool, "turn_is_formatted": true}
+    server -> {"type": "Termination", "audio_duration_seconds": ...}
+
+so ``AssemblyAIStreamingEvaluator(base_url="ws://host:port/ws")`` evaluates
+THIS server with zero changes — the eval harness and the serving stack meet
+in the middle.
+
+Endpointing runs on the same frame grid as the VAD (HOP=256 => 16 ms): a turn
+opens after ``start_frames`` consecutive speech frames, closes after
+``end_silence_frames`` of trailing silence, and is force-closed at
+``max_turn_s`` so turn audio always fits the 30 s encoder window.  The VAD
+net is causal (left-padded convs + forward GRU, vad.py:113-137), so re-scoring
+a growing buffer never changes already-scored frames' context direction —
+streaming and offline decisions agree.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+
+from tiny_audio_tpu.vad import HOP, SAMPLE_RATE
+
+# ------------------------------------------------------------------ endpointer
+
+
+@dataclass
+class EndpointerConfig:
+    """Frame counts are on the VAD grid: HOP/SAMPLE_RATE = 16 ms per frame."""
+
+    start_frames: int = 8          # ~128 ms of speech opens a turn
+    end_silence_frames: int = 40   # ~640 ms of silence closes it
+    pre_roll_frames: int = 12      # ~192 ms kept before the detected onset
+    hangover_frames: int = 12      # ~192 ms kept after the last speech frame
+    max_turn_s: float = 28.0       # force-close before the 30 s encoder cap
+    update_samples: int = 4096     # rescan cadence (~256 ms of new audio)
+    idle_tail_s: float = 1.0       # silence kept while waiting for an onset
+
+
+class TurnEndpointer:
+    """Online speech/turn segmentation over a growing sample buffer.
+
+    Pure state machine around an injected ``vad_fn`` ([n] float32 samples ->
+    [n // HOP] bool decisions), so tests can drive it with a deterministic
+    oracle and the server can plug in :func:`tiny_audio_tpu.vad.frame_vad_auto`.
+
+    :meth:`feed` returns a list of events::
+
+        ("start",)            a turn opened
+        ("final", audio)      a turn closed; ``audio`` is the float32 turn clip
+
+    Partial-transcript cadence is the caller's business (it depends on TPU
+    lock availability); the endpointer only segments.
+    """
+
+    def __init__(self, vad_fn: Callable[[np.ndarray], np.ndarray],
+                 config: Optional[EndpointerConfig] = None):
+        self.vad_fn = vad_fn
+        self.cfg = config or EndpointerConfig()
+        self.buf = np.zeros(0, np.float32)
+        self.turn_open = False
+        self._since_scan = 0
+
+    # Samples of the current (open) turn so far — what a partial transcribes.
+    @property
+    def turn_audio(self) -> np.ndarray:
+        return self.buf
+
+    def feed(self, samples: np.ndarray) -> list[tuple]:
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self.buf = np.concatenate([self.buf, samples]) if self.buf.size else samples
+        self._since_scan += samples.size
+        if self._since_scan < self.cfg.update_samples:
+            return []
+        self._since_scan = 0
+        return self._scan()
+
+    def flush(self) -> list[tuple]:
+        """End of stream: close any open turn on whatever audio remains."""
+        events = self._scan() if self.buf.size >= HOP else []
+        if self.turn_open:
+            events.append(("final", self.buf))
+            self.buf = np.zeros(0, np.float32)
+            self.turn_open = False
+        return events
+
+    def force_endpoint(self) -> list[tuple]:
+        """Client-requested turn close (AAI ``ForceEndpoint``)."""
+        if not self.turn_open:
+            return []
+        audio, self.buf = self.buf, np.zeros(0, np.float32)
+        self.turn_open = False
+        return [("final", audio)]
+
+    # ------------------------------------------------------------- internals
+
+    def _scan(self) -> list[tuple]:
+        cfg = self.cfg
+        n_frames = self.buf.size // HOP
+        if n_frames == 0:
+            return []
+        decisions = np.asarray(self.vad_fn(self.buf), bool)[:n_frames]
+        events: list[tuple] = []
+
+        if not self.turn_open:
+            onset = self._find_onset(decisions)
+            if onset is None:
+                # Bound idle memory: keep only enough tail to still catch an
+                # onset that straddles the next chunk boundary.
+                keep = int(cfg.idle_tail_s * SAMPLE_RATE)
+                if self.buf.size > keep:
+                    self.buf = self.buf[-keep:]
+                return events
+            self.turn_open = True
+            start = max(0, onset - cfg.pre_roll_frames) * HOP
+            self.buf = self.buf[start:]
+            decisions = decisions[start // HOP:]
+            n_frames = decisions.size
+            events.append(("start",))
+
+        speech_idx = np.flatnonzero(decisions)
+        last_speech = int(speech_idx[-1]) if speech_idx.size else -1
+        trailing = n_frames - 1 - last_speech
+        if trailing >= cfg.end_silence_frames:
+            cut = min((last_speech + 1 + cfg.hangover_frames) * HOP,
+                      self.buf.size)
+            events.append(("final", self.buf[:cut]))
+            self.buf = self.buf[cut:]
+            self.turn_open = False
+        elif self.buf.size >= int(cfg.max_turn_s * SAMPLE_RATE):
+            events.append(("final", self.buf))
+            self.buf = np.zeros(0, np.float32)
+            self.turn_open = False
+        return events
+
+    def _find_onset(self, decisions: np.ndarray) -> Optional[int]:
+        """First index where ``start_frames`` consecutive frames are speech."""
+        k = self.cfg.start_frames
+        if decisions.size < k:
+            return None
+        runs = np.convolve(decisions.astype(np.int32), np.ones(k, np.int32),
+                           mode="valid")
+        hits = np.flatnonzero(runs >= k)
+        return int(hits[0]) if hits.size else None
+
+
+# ---------------------------------------------------------------------- server
+
+
+class RealtimeServer:
+    """Threaded realtime transcription server over a warmed pipeline.
+
+    One connection = one session = one thread (``websockets.sync`` spawns a
+    handler thread per client, matching the repo's ``ThreadingHTTPServer``
+    style).  TPU work from all sessions serializes on ``lock`` — pass the
+    HTTP server's batcher lock to co-host both on one chip.
+
+    Partials are best-effort: emitted at most every ``partial_every_s`` and
+    only when the TPU lock is free, so a busy chip degrades to final-only
+    turns instead of queueing stale partial work.
+    """
+
+    def __init__(self, pipe, host: str = "0.0.0.0", port: int = 8765,
+                 lock: Optional[threading.Lock] = None,
+                 partial_every_s: float = 1.0,
+                 endpointer_config: Optional[EndpointerConfig] = None,
+                 vad_fn: Optional[Callable] = None):
+        self.pipe = pipe
+        self.host, self._port = host, port
+        self.lock = lock if lock is not None else threading.Lock()
+        self.partial_every_s = partial_every_s
+        self.ep_config = endpointer_config or EndpointerConfig()
+        if vad_fn is None:
+            from tiny_audio_tpu.vad import frame_vad_auto
+
+            vad_fn = lambda a: frame_vad_auto(a)[0]  # noqa: E731
+        self.vad_fn = vad_fn
+        self._server = None
+        self._thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------- lifecycle
+
+    def start(self) -> "RealtimeServer":
+        from websockets.sync.server import serve as ws_serve
+
+        # ping_interval=None: a cold XLA compile GIL-starves this process
+        # for minutes, during which the websockets background thread can't
+        # answer keepalive pings — the library would then kill healthy
+        # sessions with 1011.  Session end is protocol-level (Terminate),
+        # and dead sockets surface as TCP errors on the next send.
+        self._server = ws_serve(self._handle, self.host, self._port,
+                                ping_interval=None)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    @property
+    def port(self) -> int:
+        return self._server.socket.getsockname()[1]
+
+    def shutdown(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------ connection
+
+    def _handle(self, ws) -> None:
+        from websockets.exceptions import ConnectionClosed
+
+        sample_rate = 16000
+        try:  # ?sample_rate=... on the connect URL (AAI-compatible)
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(ws.request.path).query)
+            sample_rate = int(q.get("sample_rate", ["16000"])[0])
+        except Exception:
+            pass
+
+        ws.send(json.dumps({
+            "type": "Begin", "id": str(uuid.uuid4()),
+            "expires_at": int(time.time()) + 3600,
+        }))
+
+        ep = TurnEndpointer(self.vad_fn, self.ep_config)
+        turn_order = 0
+        total_samples = 0
+        t0 = time.time()
+        last_partial = 0.0
+        terminated = False
+
+        try:
+            for msg in ws:
+                if isinstance(msg, (bytes, bytearray)):
+                    audio = self._decode_pcm(msg, sample_rate)
+                    total_samples += audio.size
+                    turn_order = self._dispatch(
+                        ws, ep.feed(audio), turn_order
+                    )
+                    if (
+                        ep.turn_open
+                        and time.time() - last_partial >= self.partial_every_s
+                        and ep.turn_audio.size >= SAMPLE_RATE // 4
+                    ):
+                        text = self._transcribe(ep.turn_audio, blocking=False)
+                        if text is not None:
+                            last_partial = time.time()
+                            ws.send(json.dumps({
+                                "type": "Turn", "turn_order": turn_order,
+                                "transcript": text, "end_of_turn": False,
+                                "turn_is_formatted": False,
+                            }))
+                    continue
+                try:
+                    cmd = json.loads(msg)
+                except (TypeError, ValueError):
+                    continue
+                if cmd.get("type") == "ForceEndpoint":
+                    turn_order = self._dispatch(
+                        ws, ep.force_endpoint(), turn_order
+                    )
+                elif cmd.get("type") == "Terminate":
+                    turn_order = self._dispatch(ws, ep.flush(), turn_order)
+                    ws.send(json.dumps({
+                        "type": "Termination",
+                        "audio_duration_seconds": total_samples / SAMPLE_RATE,
+                        "session_duration_seconds": time.time() - t0,
+                    }))
+                    terminated = True
+                    break
+        except ConnectionClosed:
+            pass
+        finally:
+            if not terminated:
+                # client vanished mid-turn: nothing to send, just drop state
+                ep.buf = np.zeros(0, np.float32)
+
+    def _dispatch(self, ws, events: list[tuple], turn_order: int) -> int:
+        for ev in events:
+            if ev[0] != "final":
+                continue
+            audio = ev[1]
+            # sub-150 ms turns are VAD flicker; report them empty rather
+            # than spending a decode on noise
+            text = ""
+            if audio.size >= int(0.15 * SAMPLE_RATE):
+                text = self._transcribe(audio, blocking=True) or ""
+            ws.send(json.dumps({
+                "type": "Turn", "turn_order": turn_order,
+                "transcript": text, "end_of_turn": True,
+                "turn_is_formatted": True,
+            }))
+            turn_order += 1
+        return turn_order
+
+    def _transcribe(self, audio: np.ndarray,
+                    blocking: bool) -> Optional[str]:
+        if not self.lock.acquire(blocking=blocking):
+            return None  # partial path: chip busy, skip this round
+        try:
+            out = self.pipe({"array": np.asarray(audio, np.float32),
+                             "sampling_rate": SAMPLE_RATE})
+            return out.get("text", "")
+        except Exception:  # keep the session alive on a bad clip
+            return "" if blocking else None
+        finally:
+            self.lock.release()
+
+    @staticmethod
+    def _decode_pcm(raw: bytes, sample_rate: int) -> np.ndarray:
+        audio = np.frombuffer(
+            raw[: len(raw) - (len(raw) % 2)], "<i2"
+        ).astype(np.float32) / 32768.0
+        if sample_rate != SAMPLE_RATE and audio.size:
+            from tiny_audio_tpu.utils.audio_io import resample
+
+            audio = resample(audio, sample_rate, SAMPLE_RATE)
+        return audio
+
+
+# ------------------------------------------------------------------ entrypoint
+
+
+def serve_realtime(model_path: str, host: str = "0.0.0.0", port: int = 8765,
+                   warmup: bool = True, partial_every_s: float = 1.0) -> None:
+    """CLI entry: load + warm the pipeline, run the websocket server."""
+    from tiny_audio_tpu.handler import EndpointHandler
+
+    handler = EndpointHandler(model_path)
+    if warmup:
+        print("[realtime] warming up (persistent compile cache makes "
+              "restarts fast)...")
+        total = handler.warmup(batched=False)
+        print(f"[realtime] warmup done in {total:.1f}s")
+    server = RealtimeServer(
+        handler.pipe, host=host, port=port, partial_every_s=partial_every_s
+    ).start()
+    print(f"[realtime] listening on ws://{host}:{server.port} "
+          "(PCM16 in, Turn events out)")
+    try:
+        server._thread.join()
+    except KeyboardInterrupt:
+        server.shutdown()
