@@ -1,0 +1,197 @@
+#!/usr/bin/env python3
+"""Benchmark the realtime websocket server at flagship size on the real chip.
+
+Drives N concurrent client sessions at REAL-TIME pace (100 ms PCM16 chunks,
+the cadence our AAI-v3 eval client uses) through
+:class:`tiny_audio_tpu.realtime.RealtimeServer` and measures what a voice
+agent feels:
+
+- ``first_partial_s``   speech onset (wall) -> first partial transcript
+- ``endpoint_latency_s``  last speech chunk sent -> final Turn received.
+  Floor = endpointer silence window (~0.64 s) + one decode; the gap above
+  the floor is the serving overhead.
+- all sessions must receive exactly one final per spoken turn (delivery
+  under lock contention).
+
+Audio is formant-synthesized speech (utils/speech_synth.py) — the trained
+VAD's validation domain — so endpointing exercises the REAL neural VAD, not
+an oracle.  Weights are random (latency does not depend on weight values).
+
+Run on the default (TPU) env:  python scripts/bench_realtime.py
+Env knobs: TA_BENCH_RT_SESSIONS (default 4), TA_BENCH_RT_SPEECH_S (default 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHUNK_S = 0.1  # 100 ms frames, 16 kHz
+
+
+def build_session_audio(seed: int, speech_s: float):
+    """1 s lead-in silence + speech + 1.5 s tail silence; returns
+    (audio, index of the last chunk containing speech)."""
+    from tiny_audio_tpu.utils.speech_synth import synth_utterance
+
+    utt, mask = synth_utterance(speech_s, 16000, seed=seed)
+    lead = np.zeros(16000, np.float32)
+    tail = np.zeros(24000, np.float32)
+    audio = np.concatenate([lead, utt, tail])
+    speech_idx = np.flatnonzero(mask)
+    last_speech_sample = len(lead) + int(speech_idx[-1])
+    first_speech_sample = len(lead) + int(speech_idx[0])
+    chunk = int(CHUNK_S * 16000)
+    return audio, first_speech_sample // chunk, last_speech_sample // chunk
+
+
+def run_session(port: int, seed: int, speech_s: float, out: dict) -> None:
+    from websockets.sync.client import connect
+
+    audio, first_chunk, last_chunk = build_session_audio(seed, speech_s)
+    pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+    chunk_bytes = int(CHUNK_S * 16000) * 2
+
+    events = []  # (wall_time, msg)
+    t_first_speech = t_last_speech = None
+
+    with connect(f"ws://127.0.0.1:{port}/?sample_rate=16000",
+                 ping_interval=None) as ws:
+        done = threading.Event()
+
+        def reader():
+            try:
+                while True:
+                    msg = json.loads(ws.recv(timeout=300))
+                    events.append((time.time(), msg))
+                    if msg["type"] == "Termination":
+                        break
+            except Exception:
+                pass
+            done.set()
+
+        rt = threading.Thread(target=reader, daemon=True)
+        rt.start()
+        next_t = time.time()
+        for i in range(0, len(pcm), chunk_bytes):
+            ws.send(pcm[i: i + chunk_bytes])
+            ci = i // chunk_bytes
+            if ci == first_chunk:
+                t_first_speech = time.time()
+            if ci == last_chunk:
+                t_last_speech = time.time()
+            next_t += CHUNK_S  # real-time pacing
+            delay = next_t - time.time()
+            if delay > 0:
+                time.sleep(delay)
+        ws.send(json.dumps({"type": "Terminate"}))
+        done.wait(timeout=300)
+
+    partials = [(t, m) for t, m in events
+                if m["type"] == "Turn" and not m["end_of_turn"]]
+    finals = [(t, m) for t, m in events
+              if m["type"] == "Turn" and m["end_of_turn"]]
+    out["n_finals"] = len(finals)
+    out["n_partials"] = len(partials)
+    if partials and t_first_speech:
+        out["first_partial_s"] = partials[0][0] - t_first_speech
+    if finals and t_last_speech:
+        out["endpoint_latency_s"] = finals[0][0] - t_last_speech
+
+
+def main() -> None:
+    from tiny_audio_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
+    import jax
+
+    from tiny_audio_tpu.config import ASRConfig
+    from tiny_audio_tpu.handler import EndpointHandler
+    from tiny_audio_tpu.models.asr import ASRModel
+    from tiny_audio_tpu.pipeline import ASRPipeline
+    from tiny_audio_tpu.realtime import RealtimeServer
+
+    n_sessions = int(os.environ.get("TA_BENCH_RT_SESSIONS", "4"))
+    speech_s = float(os.environ.get("TA_BENCH_RT_SPEECH_S", "4"))
+
+    if os.environ.get("TA_BENCH_RT_TINY"):  # CPU shakeout of the harness
+        from tiny_audio_tpu.config import tiny_test_config
+
+        cfg = tiny_test_config(model_dtype="float32")
+    else:
+        cfg = ASRConfig()
+        cfg.kv_cache_dtype = os.environ.get("TA_BENCH_KV", "int8")
+    model = ASRModel(cfg, seed=0)
+    handler = EndpointHandler(pipeline=ASRPipeline(model))
+    t0 = time.time()
+    if os.environ.get("TA_BENCH_RT_TINY"):
+        # tiny config's encoder window is smaller than the production mel
+        # buckets warmup compiles; one direct call warms the tiny graphs
+        handler.pipe({"array": np.zeros(16000, np.float32),
+                      "sampling_rate": 16000})
+    else:
+        # longform=False: realtime turns are force-closed at 28 s, so the
+        # chunked >30 s graphs never run in this server
+        handler.warmup(batched=False, longform=False,
+                       log=lambda *_: None)
+    warmup_s = time.time() - t0
+
+    server = RealtimeServer(
+        handler.pipe, host="127.0.0.1", port=0, partial_every_s=0.5
+    ).start()
+
+    results = [dict() for _ in range(n_sessions)]
+    threads = [
+        threading.Thread(target=run_session,
+                         args=(server.port, 7 + i, speech_s, results[i]))
+        for i in range(n_sessions)
+    ]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    wall = time.time() - t0
+    server.shutdown()
+
+    ok = all(r.get("n_finals", 0) >= 1 for r in results)
+    ep = [r["endpoint_latency_s"] for r in results
+          if "endpoint_latency_s" in r]
+    fp = [r["first_partial_s"] for r in results if "first_partial_s" in r]
+    print(json.dumps({
+        "metric": "realtime_ws_endpoint_latency_p50",
+        "value": round(float(np.median(ep)), 3) if ep else None,
+        "unit": "s",
+        "extra": {
+            "sessions": n_sessions,
+            "speech_s_per_session": speech_s,
+            "all_sessions_got_finals": ok,
+            "endpoint_latency_p95_s": round(float(np.percentile(ep, 95)), 3)
+            if ep else None,
+            "first_partial_p50_s": round(float(np.median(fp)), 3)
+            if fp else None,
+            "partials_per_session": [r.get("n_partials", 0)
+                                     for r in results],
+            "silence_window_s": 0.64,  # endpointer floor inside the latency
+            "wall_s": round(wall, 1),
+            "warmup_s": round(warmup_s, 1),
+            "backend": jax.default_backend(),
+        },
+    }), flush=True)
+    # hard-exit: lingering daemon websocket reader threads + jaxlib teardown
+    # abort the interpreter on this rig AFTER the result is printed; the
+    # bench's contract is the JSON line above
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()

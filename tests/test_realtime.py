@@ -100,6 +100,49 @@ class TestTurnEndpointer:
         assert not ep.turn_open
 
 
+class TestOnlineSpeakerTracker:
+    def _unit(self, v):
+        v = np.asarray(v, np.float32)
+        return v / np.linalg.norm(v)
+
+    def test_same_voice_reuses_id(self):
+        from tiny_audio_tpu.realtime import OnlineSpeakerTracker
+
+        tr = OnlineSpeakerTracker()
+        a = self._unit([1, 0.1, 0])
+        assert tr.assign(a) == 0
+        assert tr.assign(self._unit([1, 0.05, 0.02])) == 0
+
+    def test_distinct_voice_founds_new_speaker(self):
+        from tiny_audio_tpu.realtime import OnlineSpeakerTracker
+
+        tr = OnlineSpeakerTracker()
+        assert tr.assign(self._unit([1, 0, 0])) == 0
+        assert tr.assign(self._unit([0, 1, 0])) == 1
+        assert tr.assign(self._unit([1, 0.1, 0])) == 0  # back to A
+
+    def test_max_speakers_caps_new_ids(self):
+        from tiny_audio_tpu.realtime import OnlineSpeakerTracker
+
+        tr = OnlineSpeakerTracker(max_speakers=2)
+        tr.assign(self._unit([1, 0, 0]))
+        tr.assign(self._unit([0, 1, 0]))
+        # a third orthogonal voice must fold into the nearest existing id
+        assert tr.assign(self._unit([0, 0, 1])) in (0, 1)
+
+    def test_centroid_tracks_running_mean(self):
+        from tiny_audio_tpu.realtime import OnlineSpeakerTracker
+
+        tr = OnlineSpeakerTracker(threshold=0.8)
+        base = self._unit([1, 0, 0])
+        tr.assign(base)
+        # drift in small steps: each stays within threshold of the
+        # running centroid even though the last is far from the first
+        for ang in (0.15, 0.3, 0.45):
+            v = self._unit([np.cos(ang), np.sin(ang), 0])
+            assert tr.assign(v) == 0
+
+
 @pytest.fixture(scope="module")
 def rt_server():
     from tiny_audio_tpu.config import tiny_test_config
@@ -211,6 +254,111 @@ class TestRealtimeSession:
             {"array": audio, "sampling_rate": 16000}, {}
         )
         assert isinstance(text, str)
+
+    def test_live_speaker_attribution(self, rt_server):
+        """?speakers=true labels each final Turn; two alternating synthetic
+        voices get distinct stable labels (synthetic ECAPA tier)."""
+        from websockets.sync.client import connect
+
+        from tiny_audio_tpu.realtime import RealtimeServer
+
+        from tiny_audio_tpu.utils.speech_synth import synth_utterance
+
+        # separate server: no partials, same (warmed) pipeline; the
+        # amplitude oracle needs a lower bar for peak-normalized synth
+        # speech (voiced frame means sit well under the tone level)
+        def synth_vad(audio):
+            n = len(audio) // HOP
+            frames = np.abs(audio[: n * HOP]).reshape(n, HOP).mean(axis=1)
+            return frames > 0.02
+
+        server = RealtimeServer(
+            rt_server.pipe, host="127.0.0.1", port=0,
+            partial_every_s=1e9, vad_fn=synth_vad,
+            endpointer_config=EndpointerConfig(update_samples=1),
+        ).start()
+        try:
+            voice_a = dict(f0=120.0, vocal_tract_scale=1.0)
+            voice_b = dict(f0=210.0, vocal_tract_scale=1.18)
+            chunks = []
+            for i, voice in enumerate((voice_a, voice_b, voice_a)):
+                # speech_fraction=0.85: default word pauses can exceed the
+                # 0.64 s endpoint window and split one utterance in two
+                utt, _ = synth_utterance(2.0, 16000, seed=i, level=0.3,
+                                         speech_fraction=0.85, **voice)
+                chunks += [utt, silence(1.0)]
+            msgs = []
+            with connect(
+                f"ws://127.0.0.1:{server.port}/ws?speakers=true",
+                ping_interval=None,
+            ) as ws:
+                for chunk in chunks:
+                    pcm = (np.clip(chunk, -1, 1) * 32767
+                           ).astype("<i2").tobytes()
+                    ws.send(pcm)
+                ws.send(json.dumps({"type": "Terminate"}))
+                while True:
+                    msgs.append(json.loads(ws.recv(timeout=300)))
+                    if msgs[-1]["type"] == "Termination":
+                        break
+            finals = [m for m in msgs
+                      if m["type"] == "Turn" and m["end_of_turn"]]
+            assert len(finals) == 3
+            speakers = [f.get("speaker") for f in finals]
+            assert all(s is not None for s in speakers)
+            assert speakers[0] == speakers[2]  # voice A re-identified
+            assert speakers[0] != speakers[1]  # voice B is a new label
+        finally:
+            server.shutdown()
+
+    def test_speakers_off_by_default(self, rt_server):
+        msgs = _session(rt_server, [tone(1.0), silence(1.0)])
+        finals = [m for m in msgs
+                  if m["type"] == "Turn" and m["end_of_turn"]]
+        assert finals and "speaker" not in finals[0]
+
+    def test_cohosted_http_and_ws_share_lock(self, rt_server):
+        """serve(--realtime-port) layout: HTTP server + WS server on one
+        pipeline and one TPU lock, serving concurrently."""
+        import urllib.request
+
+        from tiny_audio_tpu.handler import EndpointHandler
+        from tiny_audio_tpu.serving import make_server
+
+        handler = EndpointHandler(pipeline=rt_server.pipe)
+        http = make_server(handler, host="127.0.0.1", port=0,
+                           lock=rt_server.lock)
+        http_port = http.server_address[1]
+        t = threading.Thread(target=http.serve_forever, daemon=True)
+        t.start()
+        try:
+            results = {}
+
+            def ws_session():
+                results["ws"] = _session(rt_server, [tone(0.6), silence(1.0)])
+
+            def http_post():
+                pcm = tone(0.5).tobytes()
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{http_port}/transcribe",
+                    data=pcm,
+                    headers={"Content-Type": "application/pcm-f32"},
+                )
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    results["http"] = json.loads(resp.read())
+
+            threads = [threading.Thread(target=ws_session),
+                       threading.Thread(target=http_post)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=180)
+            assert "text" in results["http"]
+            finals = [m for m in results["ws"]
+                      if m["type"] == "Turn" and m["end_of_turn"]]
+            assert len(finals) == 1
+        finally:
+            http.shutdown()
 
     def test_concurrent_sessions_share_lock(self, rt_server):
         results = {}

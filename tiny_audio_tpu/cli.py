@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
                           "tp chips (token-exact vs single-device)")
     srv.add_argument("--dp", type=int, default=None,
                      help="data-parallel mesh axis (default 1)")
+    srv.add_argument("--realtime-port", type=int, default=None,
+                     help="also serve realtime websocket transcription on "
+                          "this port (shares the chip with HTTP traffic)")
     srv.set_defaults(func=_cmd_serve)
 
     rt = sub.add_parser(
@@ -140,7 +143,8 @@ def _cmd_serve(args) -> int:
           warmup=not args.no_warmup,
           dynamic_batching=not args.no_batching,
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-          engine=args.engine, tp=args.tp, dp=args.dp)
+          engine=args.engine, tp=args.tp, dp=args.dp,
+          realtime_port=args.realtime_port)
     return 0
 
 

@@ -168,6 +168,65 @@ class TurnEndpointer:
         return int(hits[0]) if hits.size else None
 
 
+# -------------------------------------------------------------- live speakers
+
+
+class OnlineSpeakerTracker:
+    """Leader clustering over turn-level ECAPA embeddings.
+
+    The offline diarizer clusters all windows jointly (spectral,
+    diarization.py:454) — a live session can't wait for the whole
+    conversation, so each finalized turn greedily joins its closest
+    centroid (cosine >= ``threshold``) or founds a new speaker.
+    Calibration from the offline clusterer's measured margins
+    (diarization.py:505-510): same-voice centroids sit at >=0.7 cosine even
+    on the synthetic embedder tier while distinct voices measure ~0.13, so
+    0.5 splits the gap.  Centroids are running means in the unnormalized
+    space, re-normalized per comparison.
+    """
+
+    def __init__(self, threshold: float = 0.5, max_speakers: int = 10):
+        self.threshold = threshold
+        self.max_speakers = max_speakers
+        self._sums: list[np.ndarray] = []
+        self._counts: list[int] = []
+
+    def assign(self, emb: np.ndarray) -> int:
+        emb = np.asarray(emb, np.float32)
+        emb = emb / max(float(np.linalg.norm(emb)), 1e-8)
+        if self._sums:
+            cents = np.stack([s / c for s, c in
+                              zip(self._sums, self._counts)])
+            cents /= np.maximum(
+                np.linalg.norm(cents, axis=1, keepdims=True), 1e-8
+            )
+            sims = cents @ emb
+            best = int(np.argmax(sims))
+            if (sims[best] >= self.threshold
+                    or len(self._sums) >= self.max_speakers):
+                self._sums[best] += emb
+                self._counts[best] += 1
+                return best
+        self._sums.append(emb.copy())
+        self._counts.append(1)
+        return len(self._sums) - 1
+
+
+def turn_embedding(audio: np.ndarray) -> Optional[np.ndarray]:
+    """Mean of window-level ECAPA embeddings over the turn clip, or None
+    for clips too short to window.  Caller holds the TPU lock."""
+    from tiny_audio_tpu.diarization import EcapaEmbedder, sliding_windows
+
+    windows, _ = sliding_windows(
+        audio, [(0.0, audio.size / SAMPLE_RATE)]
+    )
+    if windows.shape[0] == 0:
+        return None
+    embs = EcapaEmbedder.get().embed_windows(windows)
+    m = embs.mean(axis=0)
+    return m / max(float(np.linalg.norm(m)), 1e-8)
+
+
 # ---------------------------------------------------------------------- server
 
 
@@ -236,11 +295,14 @@ class RealtimeServer:
         from websockets.exceptions import ConnectionClosed
 
         sample_rate = 16000
-        try:  # ?sample_rate=... on the connect URL (AAI-compatible)
+        tracker = None
+        try:  # ?sample_rate=...&speakers=true on the connect URL
             from urllib.parse import parse_qs, urlparse
 
             q = parse_qs(urlparse(ws.request.path).query)
             sample_rate = int(q.get("sample_rate", ["16000"])[0])
+            if q.get("speakers", ["false"])[0].lower() in ("true", "1"):
+                tracker = OnlineSpeakerTracker()
         except Exception:
             pass
 
@@ -262,7 +324,7 @@ class RealtimeServer:
                     audio = self._decode_pcm(msg, sample_rate)
                     total_samples += audio.size
                     turn_order = self._dispatch(
-                        ws, ep.feed(audio), turn_order
+                        ws, ep.feed(audio), turn_order, tracker
                     )
                     if (
                         ep.turn_open
@@ -284,10 +346,12 @@ class RealtimeServer:
                     continue
                 if cmd.get("type") == "ForceEndpoint":
                     turn_order = self._dispatch(
-                        ws, ep.force_endpoint(), turn_order
+                        ws, ep.force_endpoint(), turn_order, tracker
                     )
                 elif cmd.get("type") == "Terminate":
-                    turn_order = self._dispatch(ws, ep.flush(), turn_order)
+                    turn_order = self._dispatch(
+                        ws, ep.flush(), turn_order, tracker
+                    )
                     ws.send(json.dumps({
                         "type": "Termination",
                         "audio_duration_seconds": total_samples / SAMPLE_RATE,
@@ -302,7 +366,8 @@ class RealtimeServer:
                 # client vanished mid-turn: nothing to send, just drop state
                 ep.buf = np.zeros(0, np.float32)
 
-    def _dispatch(self, ws, events: list[tuple], turn_order: int) -> int:
+    def _dispatch(self, ws, events: list[tuple], turn_order: int,
+                  tracker: Optional[OnlineSpeakerTracker] = None) -> int:
         for ev in events:
             if ev[0] != "final":
                 continue
@@ -312,11 +377,22 @@ class RealtimeServer:
             text = ""
             if audio.size >= int(0.15 * SAMPLE_RATE):
                 text = self._transcribe(audio, blocking=True) or ""
-            ws.send(json.dumps({
+            payload = {
                 "type": "Turn", "turn_order": turn_order,
                 "transcript": text, "end_of_turn": True,
                 "turn_is_formatted": True,
-            }))
+            }
+            if tracker is not None and audio.size >= SAMPLE_RATE // 2:
+                try:
+                    with self.lock:  # ECAPA forward is TPU work
+                        emb = turn_embedding(audio)
+                    if emb is not None:
+                        payload["speaker"] = (
+                            f"SPEAKER_{tracker.assign(emb):02d}"
+                        )
+                except Exception:
+                    pass  # attribution is best-effort; the turn still ships
+            ws.send(json.dumps(payload))
             turn_order += 1
         return turn_order
 

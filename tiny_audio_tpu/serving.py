@@ -26,6 +26,7 @@ import numpy as np
 def make_server(
     handler, host: str = "0.0.0.0", port: int = 8000,
     batcher=None, result_timeout_s: float = 600.0,
+    lock: Optional[threading.Lock] = None,
 ) -> ThreadingHTTPServer:
     """``handler``: an :class:`~tiny_audio_tpu.handler.EndpointHandler`.
 
@@ -35,8 +36,13 @@ def make_server(
     weight-read-bound, so the batch shares the weight pass; everything else
     falls back to the lock-serialized solo path.  Solo and batched TPU work
     serialize on the SAME lock (both graphs are sized near the chip's HBM
-    budget)."""
-    lock = batcher.lock if batcher is not None else threading.Lock()
+    budget).
+
+    ``lock``: share TPU serialization with a co-hosted server (e.g. the
+    realtime websocket server); defaults to the batcher's lock or a fresh
+    one."""
+    if lock is None:
+        lock = batcher.lock if batcher is not None else threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -119,7 +125,8 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
           warmup: bool = True, dynamic_batching: bool = True,
           max_batch: int = 16, max_wait_ms: float = 20.0,
           engine: str = "dynamic", tp: int = 1,
-          dp: Optional[int] = None) -> None:
+          dp: Optional[int] = None,
+          realtime_port: Optional[int] = None) -> None:
     """``engine``: short-clip batching strategy.
 
     - ``"dynamic"`` — :class:`~tiny_audio_tpu.batching.DynamicBatcher`:
@@ -130,6 +137,11 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
       Falls back to ``dynamic`` when the model's generation config is not
       the greedy serving default.
     - ``"none"`` — lock-serialized solo path only.
+
+    ``realtime_port``: also run the realtime websocket server
+    (:mod:`tiny_audio_tpu.realtime`) on that port, sharing this server's
+    pipeline, warmed graphs, and TPU lock — one chip serves both batch
+    HTTP and live voice-agent traffic.
     """
     from tiny_audio_tpu.handler import EndpointHandler
 
@@ -172,7 +184,16 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
             max_batch = cap
         batcher = DynamicBatcher(handler.pipe, max_batch=max_batch,
                                  max_wait_ms=max_wait_ms)
-    server = make_server(handler, host, port, batcher=batcher)
+    lock = batcher.lock if batcher is not None else threading.Lock()
+    if realtime_port is not None:
+        from tiny_audio_tpu.realtime import RealtimeServer
+
+        rt = RealtimeServer(
+            handler.pipe, host=host, port=realtime_port, lock=lock
+        ).start()
+        print(f"[serve] realtime websocket on ws://{host}:{rt.port} "
+              "(PCM16 in, Turn events out; shares the TPU lock)")
+    server = make_server(handler, host, port, batcher=batcher, lock=lock)
     mode = {"dynamic": f" (dynamic batching <= {max_batch})",
             "continuous": f" (continuous batching, {max_batch} slots)",
             "none": ""}[engine]
