@@ -317,6 +317,22 @@ class TestRealtimeSession:
                   if m["type"] == "Turn" and m["end_of_turn"]]
         assert finals and "speaker" not in finals[0]
 
+    def test_realtime_eval_backend(self, rt_server):
+        """`ta eval --backend realtime`: WER through the websocket path."""
+        from tiny_audio_tpu.eval.datasets import load_eval_dataset
+        from tiny_audio_tpu.eval.evaluators.asr import LocalRealtimeEvaluator
+
+        ev = LocalRealtimeEvaluator("tiny", pipeline=rt_server.pipe)
+        try:
+            rows = load_eval_dataset("synthetic", num_samples=2)
+            results, metrics = ev.evaluate(rows, num_samples=2)
+            assert len(results) == 2
+            assert "corpus_wer" in metrics and "turns_avg" in metrics
+            # transcripts joined from endpointed turns are plain strings
+            assert all(isinstance(r.prediction, str) for r in results)
+        finally:
+            ev.close()
+
     def test_cohosted_http_and_ws_share_lock(self, rt_server):
         """serve(--realtime-port) layout: HTTP server + WS server on one
         pipeline and one TPU lock, serving concurrently."""

@@ -102,16 +102,21 @@ def run_eval(
     if cfg.dataset_type == "asr":
         from tiny_audio_tpu.eval.evaluators.asr import BACKENDS
 
-        if backend in ("local", "local-streaming"):
+        if backend in ("local", "local-streaming", "realtime"):
             evaluator = BACKENDS[backend](model)
         elif backend == "endpoint":
             evaluator = BACKENDS[backend](endpoint_url or model,
                                           num_workers=num_workers)
         else:
             evaluator = BACKENDS[backend](num_workers=num_workers)
-        results, metrics = evaluator.evaluate(
-            ds, num_samples=num_samples, text_column=cfg.text_column
-        )
+        try:
+            results, metrics = evaluator.evaluate(
+                ds, num_samples=num_samples, text_column=cfg.text_column
+            )
+        finally:
+            close = getattr(evaluator, "close", None)
+            if close is not None:  # realtime backend owns a WS server
+                close()
         save_asr_results(evaluator.model_name, dataset_name, results, metrics,
                          output_dir)
         return metrics
@@ -190,7 +195,8 @@ def add_eval_parser(subparsers) -> None:
     p.add_argument("-d", "--datasets", nargs="+", required=True)
     p.add_argument("-n", "--num-samples", type=int, default=None)
     p.add_argument("--backend", default="local",
-                   choices=["local", "local-streaming", "endpoint", "assemblyai",
+                   choices=["local", "local-streaming", "realtime",
+                            "endpoint", "assemblyai",
                             "assemblyai-streaming", "deepgram", "elevenlabs"])
     p.add_argument("--output-dir", default="outputs")
     p.add_argument("--num-workers", type=int, default=1)

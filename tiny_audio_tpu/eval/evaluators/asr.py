@@ -95,6 +95,75 @@ class LocalStreamingEvaluator(LocalEvaluator):
         return metrics
 
 
+class LocalRealtimeEvaluator(LocalEvaluator):
+    """WER through the realtime websocket path: spins up a
+    :class:`tiny_audio_tpu.realtime.RealtimeServer` around the local
+    pipeline, streams each clip as PCM16 chunks, and joins the endpointed
+    turn transcripts.
+
+    This measures what ONLINE segmentation costs vs the offline pipeline on
+    identical audio — VAD turn cuts, per-turn decode, lost boundary words —
+    the quality counterpart of `scripts/bench_realtime.py`'s latency
+    numbers.  The reference only ever measures a third-party realtime API
+    (asr.py:271-352); it has no server of its own to evaluate.
+
+    No pacing: the server is pull-based, so chunks stream at full speed and
+    the eval runs much faster than real time.
+    """
+
+    CHUNK_BYTES = 3200  # 100 ms of 16 kHz PCM16, the AAI client cadence
+
+    def __init__(self, model_path: str, num_workers: int = 1, pipeline=None):
+        super().__init__(model_path, pipeline=pipeline)
+        from tiny_audio_tpu.realtime import RealtimeServer
+
+        self.model_name = f"{model_path}-realtime"
+        self.server = RealtimeServer(
+            self.pipe, host="127.0.0.1", port=0,
+            partial_every_s=1e9,  # finals only: partials would double decodes
+        ).start()
+        self.turn_counts: list[int] = []
+
+    def transcribe(self, audio: dict, sample: dict) -> str:
+        from websockets.sync.client import connect
+
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        norm = ASRPipeline.extract_audio(audio)
+        pcm = (np.clip(norm["array"], -1.0, 1.0) * 32767).astype(
+            "<i2"
+        ).tobytes()
+        transcripts: dict[int, str] = {}
+        with connect(
+            f"ws://127.0.0.1:{self.server.port}/?sample_rate=16000",
+            ping_interval=None,  # server may stall on a cold compile
+        ) as ws:
+            for i in range(0, len(pcm), self.CHUNK_BYTES):
+                ws.send(pcm[i: i + self.CHUNK_BYTES])
+            ws.send(json.dumps({"type": "Terminate"}))
+            while True:
+                msg = json.loads(ws.recv(timeout=600))
+                if msg.get("type") == "Turn" and msg.get("end_of_turn"):
+                    transcripts[msg.get("turn_order", 0)] = msg.get(
+                        "transcript", ""
+                    )
+                if msg.get("type") == "Termination":
+                    break
+        self.turn_counts.append(len(transcripts))
+        return " ".join(
+            t for _, t in sorted(transcripts.items()) if t
+        ).strip()
+
+    def compute_metrics(self, results) -> dict:
+        metrics = super().compute_metrics(results)
+        if self.turn_counts:
+            metrics["turns_avg"] = float(np.mean(self.turn_counts))
+        return metrics
+
+    def close(self) -> None:
+        self.server.shutdown()
+
+
 class EndpointEvaluator(Evaluator):
     """POST audio bytes to a serving endpoint (reference asr.py:221-268:
     HF InferenceClient; here a plain HTTP contract)."""
@@ -284,6 +353,7 @@ class ElevenLabsEvaluator(Evaluator):
 BACKENDS = {
     "local": LocalEvaluator,
     "local-streaming": LocalStreamingEvaluator,
+    "realtime": LocalRealtimeEvaluator,
     "endpoint": EndpointEvaluator,
     "assemblyai": AssemblyAIEvaluator,
     "assemblyai-streaming": AssemblyAIStreamingEvaluator,
