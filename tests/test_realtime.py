@@ -100,6 +100,112 @@ class TestTurnEndpointer:
         assert not ep.turn_open
 
 
+class _StreamAmpOracle:
+    """StreamingVad-shaped amplitude oracle: scores each HOP block once,
+    carrying a pending-sample tail — lets the stream-mode endpointer be
+    compared against batch mode with bitwise-identical decisions."""
+
+    def __init__(self):
+        self._pending = np.zeros(0, np.float32)
+
+    def feed(self, samples: np.ndarray) -> np.ndarray:
+        self._pending = np.concatenate(
+            [self._pending, np.asarray(samples, np.float32).reshape(-1)]
+        )
+        k = self._pending.size // HOP
+        if k == 0:
+            return np.zeros(0, bool)
+        dec = np.abs(self._pending[: k * HOP]).reshape(k, HOP).mean(axis=1) > 0.05
+        self._pending = self._pending[k * HOP:]
+        return dec
+
+    def reset(self, keep_level: bool = True) -> None:
+        self._pending = np.zeros(0, np.float32)
+
+
+class TestStreamModeEndpointer:
+    """TurnEndpointer(vad_stream=...) — incremental decisions, O(new audio)
+    per feed — must segment exactly like batch mode given the same oracle."""
+
+    def _run(self, ep, chunks):
+        events = []
+        for c in chunks:
+            events += ep.feed(c)
+        events += ep.flush()
+        return events
+
+    @pytest.mark.parametrize("chunk_s", [0.05, 0.1, 0.256])
+    def test_matches_batch_mode(self, chunk_s):
+        session = np.concatenate([
+            silence(0.4), tone(0.9), silence(1.2), tone(0.6, amp=0.2),
+            silence(0.9), tone(1.3), silence(0.8),
+        ])
+        step = int(chunk_s * SAMPLE_RATE)
+        chunks = [session[i: i + step] for i in range(0, len(session), step)]
+        batch = self._run(TurnEndpointer(amp_vad, CFG), chunks)
+        stream = self._run(
+            TurnEndpointer(None, CFG, vad_stream=_StreamAmpOracle()), chunks
+        )
+        assert [e[0] for e in batch] == [e[0] for e in stream]
+        b_finals = [e[1] for e in batch if e[0] == "final"]
+        s_finals = [e[1] for e in stream if e[0] == "final"]
+        assert len(b_finals) == len(s_finals) == 3
+        for b, s in zip(b_finals, s_finals):
+            assert b.size == s.size
+            np.testing.assert_array_equal(b, s)
+
+    def test_max_turn_close_then_next_turn(self):
+        cfg = EndpointerConfig(update_samples=1, max_turn_s=1.0)
+        ep = TurnEndpointer(None, cfg, vad_stream=_StreamAmpOracle())
+        finals = [e for e in ep.feed(tone(1.5)) if e[0] == "final"]
+        assert len(finals) == 1 and not ep.turn_open
+        ep.feed(silence(1.0))
+        finals = [e for e in ep.feed(np.concatenate([tone(0.5), silence(1.0)]))
+                  if e[0] == "final"]
+        assert len(finals) == 1  # stream state survived the hard clear
+
+    def test_requires_exactly_one_source(self):
+        with pytest.raises(ValueError):
+            TurnEndpointer(amp_vad, CFG, vad_stream=_StreamAmpOracle())
+        with pytest.raises(ValueError):
+            TurnEndpointer(None, CFG)
+
+    def test_neural_stream_segments_synthetic_speech(self):
+        from tiny_audio_tpu.utils.speech_synth import synth_utterance
+        from tiny_audio_tpu.vad import StreamingVad
+
+        sv = StreamingVad.make()
+        if sv is None:
+            pytest.skip("no trained VAD weights checked in")
+        utt1, _ = synth_utterance(1.5, seed=21)
+        utt2, _ = synth_utterance(1.2, seed=22)
+        session = np.concatenate(
+            [silence(0.5), utt1, silence(1.2), utt2, silence(1.0)]
+        )
+        ep = TurnEndpointer(None, EndpointerConfig(), vad_stream=sv)
+        step = 1600
+        finals = []
+        for i in range(0, len(session), step):
+            finals += [e for e in ep.feed(session[i: i + step])
+                       if e[0] == "final"]
+        finals += [e for e in ep.flush() if e[0] == "final"]
+        assert len(finals) == 2
+        # each turn clip roughly covers its utterance
+        assert 1.0 <= finals[0][1].size / SAMPLE_RATE <= 2.5
+        assert 0.8 <= finals[1][1].size / SAMPLE_RATE <= 2.2
+
+    def test_server_defaults_to_stream_mode_with_weights(self):
+        from tiny_audio_tpu.vad import NeuralVAD
+
+        srv = RealtimeServer(pipe=None)  # ctor does not bind a socket
+        if NeuralVAD.get() is not None:
+            assert srv.vad_fn is None
+            ep = srv._make_endpointer()
+            assert ep.vad_stream is not None
+        else:
+            assert srv.vad_fn is not None
+
+
 class TestOnlineSpeakerTracker:
     def _unit(self, v):
         v = np.asarray(v, np.float32)

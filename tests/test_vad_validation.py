@@ -227,3 +227,107 @@ class TestNeuralVAD:
         decisions, trained = frame_vad_auto(audio)
         assert trained is True
         assert decisions.any()
+
+
+class TestStreamingVad:
+    """Host-side incremental inference (vad.StreamingVad) must match the
+    batch scorer: exact-net parity on identical inputs (the oracle
+    pattern), high decision agreement end-to-end despite the running-mean
+    normalization, and the same F1 margins on the hard conditions."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from tiny_audio_tpu.vad import NeuralVAD, StreamingVad, _np_params
+
+        model = NeuralVAD.get()
+        if model is None:
+            pytest.skip("no trained VAD weights checked in")
+        return model, _np_params(model.params)
+
+    def test_numpy_net_matches_flax(self, pair):
+        from tiny_audio_tpu.vad import N_MELS, np_vadnet_forward
+
+        model, p = pair
+        x = np.random.default_rng(0).normal(
+            size=(150, N_MELS)
+        ).astype(np.float32)
+        flax_logits = np.asarray(model.net.apply({"params": model.params},
+                                                 x[None]))[0]
+        np.testing.assert_allclose(np_vadnet_forward(p, x), flax_logits,
+                                   atol=1e-4)
+
+    def test_numpy_features_match_jnp(self, pair):
+        from tiny_audio_tpu.vad import vad_logmel, vad_logmel_np
+
+        audio, _ = synth_utterance(4.0, seed=7)
+        f_np = vad_logmel_np(audio)
+        f_j = np.asarray(vad_logmel(audio[None]))[0]
+        np.testing.assert_allclose(f_np, f_j, atol=5e-3)
+
+    def test_chunked_decisions_agree_with_batch(self, pair):
+        from tiny_audio_tpu.vad import StreamingVad
+
+        model, p = pair
+        audio, _ = synth_utterance(6.0, seed=11)
+        audio = np.concatenate([np.zeros(8000, np.float32), audio,
+                                np.zeros(8000, np.float32)])
+        batch = model(audio)
+        sv = StreamingVad(p)
+        chunks = [sv.feed(audio[i: i + 1600])
+                  for i in range(0, len(audio), 1600)]
+        stream = np.concatenate(chunks)
+        n = min(len(batch), len(stream))
+        assert n >= len(batch) - 2  # at most the incomplete-window lag
+        assert float((batch[:n] == stream[:n]).mean()) >= 0.97
+
+    def test_chunk_size_invariance(self, pair):
+        """Identical decisions regardless of how the audio is chunked."""
+        from tiny_audio_tpu.vad import StreamingVad
+
+        _, p = pair
+        audio, _ = synth_utterance(3.0, seed=13)
+        outs = []
+        for step in (160, 1600, 7000):
+            sv = StreamingVad(p)
+            outs.append(np.concatenate(
+                [sv.feed(audio[i: i + step])
+                 for i in range(0, len(audio), step)]
+            ))
+        n = min(map(len, outs))
+        for other in outs[1:]:
+            np.testing.assert_array_equal(outs[0][:n], other[:n])
+
+    def test_streaming_f1_at_0db_white(self, pair):
+        from tiny_audio_tpu.utils.speech_synth import mask_to_frames
+        from tiny_audio_tpu.vad import HOP, StreamingVad
+
+        _, p = pair
+        audio, mask = synth_utterance(8.0, seed=1001)
+        rng = np.random.default_rng(0)
+        sp_rms = np.sqrt(np.mean(audio[mask] ** 2))
+        noisy = audio + rng.standard_normal(
+            len(audio)).astype(np.float32) * sp_rms
+        sv = StreamingVad(p)
+        pred = np.concatenate([sv.feed(noisy[i: i + 1600])
+                               for i in range(0, len(noisy), 1600)])
+        truth = mask_to_frames(mask, HOP)
+        n = min(len(pred), len(truth))
+        tp = float(np.sum(pred[:n] & truth[:n]))
+        prec = tp / max(float(np.sum(pred[:n])), 1.0)
+        rec = tp / max(float(np.sum(truth[:n])), 1.0)
+        f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+        assert f1 >= 0.90, f1
+
+    def test_reset_keeps_level_state(self, pair):
+        from tiny_audio_tpu.vad import StreamingVad
+
+        _, p = pair
+        audio, _ = synth_utterance(2.0, seed=17)
+        sv = StreamingVad(p)
+        sv.feed(audio)
+        n_before = sv._mean_n
+        sv.reset(keep_level=True)
+        assert sv._mean_n == n_before and sv._h is None
+        assert sv.feed(audio).any()
+        sv.reset(keep_level=False)
+        assert sv._mean_n == 0

@@ -27,9 +27,10 @@ Endpointing runs on the same frame grid as the VAD (HOP=256 => 16 ms): a turn
 opens after ``start_frames`` consecutive speech frames, closes after
 ``end_silence_frames`` of trailing silence, and is force-closed at
 ``max_turn_s`` so turn audio always fits the 30 s encoder window.  The VAD
-net is causal (left-padded convs + forward GRU, vad.py:113-137), so re-scoring
-a growing buffer never changes already-scored frames' context direction —
-streaming and offline decisions agree.
+net is causal (left-padded convs + forward GRU, vad.py:113-137) and runs
+incrementally on the host (:class:`tiny_audio_tpu.vad.StreamingVad`): each
+new chunk is scored once with carried conv/GRU state, O(new audio) per feed
+and no accelerator dispatch, so endpointing never contends with decoding.
 """
 
 from __future__ import annotations
@@ -43,7 +44,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from tiny_audio_tpu.vad import HOP, SAMPLE_RATE
+from tiny_audio_tpu.vad import HOP, SAMPLE_RATE, WIN
 
 # ------------------------------------------------------------------ endpointer
 
@@ -77,9 +78,18 @@ class TurnEndpointer:
     lock availability); the endpointer only segments.
     """
 
-    def __init__(self, vad_fn: Callable[[np.ndarray], np.ndarray],
-                 config: Optional[EndpointerConfig] = None):
+    def __init__(self, vad_fn: Optional[Callable[[np.ndarray], np.ndarray]],
+                 config: Optional[EndpointerConfig] = None,
+                 vad_stream=None):
+        if (vad_fn is None) == (vad_stream is None):
+            raise ValueError("pass exactly one of vad_fn / vad_stream")
         self.vad_fn = vad_fn
+        # Streaming mode (vad.StreamingVad): decisions accumulate
+        # incrementally in self._dec (aligned with buf's frame grid; every
+        # trim below is hop-aligned) — O(new audio) per feed, where batch
+        # mode re-scores the whole buffer every scan.
+        self.vad_stream = vad_stream
+        self._dec = np.zeros(0, bool)
         self.cfg = config or EndpointerConfig()
         self.buf = np.zeros(0, np.float32)
         self.turn_open = False
@@ -93,6 +103,10 @@ class TurnEndpointer:
     def feed(self, samples: np.ndarray) -> list[tuple]:
         samples = np.asarray(samples, np.float32).reshape(-1)
         self.buf = np.concatenate([self.buf, samples]) if self.buf.size else samples
+        if self.vad_stream is not None and samples.size:
+            new = self.vad_stream.feed(samples)
+            if new.size:
+                self._dec = np.concatenate([self._dec, new])
         self._since_scan += samples.size
         if self._since_scan < self.cfg.update_samples:
             return []
@@ -101,29 +115,55 @@ class TurnEndpointer:
 
     def flush(self) -> list[tuple]:
         """End of stream: close any open turn on whatever audio remains."""
+        if self.vad_stream is not None and self.buf.size >= HOP:
+            # complete the final analysis window so trailing frames score
+            new = self.vad_stream.feed(np.zeros(WIN - HOP, np.float32))
+            if new.size:
+                self._dec = np.concatenate([self._dec, new])
         events = self._scan() if self.buf.size >= HOP else []
         if self.turn_open:
             events.append(("final", self.buf))
-            self.buf = np.zeros(0, np.float32)
-            self.turn_open = False
+            self._clear()
         return events
 
     def force_endpoint(self) -> list[tuple]:
         """Client-requested turn close (AAI ``ForceEndpoint``)."""
         if not self.turn_open:
             return []
-        audio, self.buf = self.buf, np.zeros(0, np.float32)
-        self.turn_open = False
+        audio = self.buf
+        self._clear()
         return [("final", audio)]
 
     # ------------------------------------------------------------- internals
 
+    def _clear(self) -> None:
+        """Drop all buffered state (turn closed on the full buffer)."""
+        self.buf = np.zeros(0, np.float32)
+        self.turn_open = False
+        self._dec = np.zeros(0, bool)
+        if self.vad_stream is not None:
+            # conv/GRU context resets at the hard boundary (training clips
+            # start cold too); the running level estimate is kept
+            self.vad_stream.reset(keep_level=True)
+
+    def _trim(self, frames: int) -> None:
+        """Drop ``frames`` whole VAD frames from the buffer front
+        (hop-aligned, so streaming decisions stay on the same grid)."""
+        if frames <= 0:
+            return
+        self.buf = self.buf[frames * HOP:]
+        self._dec = self._dec[frames:]
+
     def _scan(self) -> list[tuple]:
         cfg = self.cfg
-        n_frames = self.buf.size // HOP
-        if n_frames == 0:
+        if self.vad_stream is not None:
+            decisions = self._dec
+        else:
+            n_frames = self.buf.size // HOP
+            decisions = (np.asarray(self.vad_fn(self.buf), bool)[:n_frames]
+                         if n_frames else np.zeros(0, bool))
+        if decisions.size == 0:
             return []
-        decisions = np.asarray(self.vad_fn(self.buf), bool)[:n_frames]
         events: list[tuple] = []
 
         if not self.turn_open:
@@ -131,30 +171,30 @@ class TurnEndpointer:
             if onset is None:
                 # Bound idle memory: keep only enough tail to still catch an
                 # onset that straddles the next chunk boundary.
-                keep = int(cfg.idle_tail_s * SAMPLE_RATE)
-                if self.buf.size > keep:
-                    self.buf = self.buf[-keep:]
+                keep_frames = int(cfg.idle_tail_s * SAMPLE_RATE) // HOP
+                self._trim(self.buf.size // HOP - keep_frames)
                 return events
             self.turn_open = True
-            start = max(0, onset - cfg.pre_roll_frames) * HOP
-            self.buf = self.buf[start:]
-            decisions = decisions[start // HOP:]
-            n_frames = decisions.size
+            self._trim(max(0, onset - cfg.pre_roll_frames))
+            decisions = self._dec if self.vad_stream is not None \
+                else decisions[max(0, onset - cfg.pre_roll_frames):]
             events.append(("start",))
 
         speech_idx = np.flatnonzero(decisions)
         last_speech = int(speech_idx[-1]) if speech_idx.size else -1
-        trailing = n_frames - 1 - last_speech
+        trailing = decisions.size - 1 - last_speech
         if trailing >= cfg.end_silence_frames:
-            cut = min((last_speech + 1 + cfg.hangover_frames) * HOP,
-                      self.buf.size)
-            events.append(("final", self.buf[:cut]))
-            self.buf = self.buf[cut:]
-            self.turn_open = False
+            cut_frames = last_speech + 1 + cfg.hangover_frames
+            if cut_frames * HOP >= self.buf.size:
+                events.append(("final", self.buf))
+                self._clear()
+            else:
+                events.append(("final", self.buf[:cut_frames * HOP]))
+                self._trim(cut_frames)
+                self.turn_open = False
         elif self.buf.size >= int(cfg.max_turn_s * SAMPLE_RATE):
             events.append(("final", self.buf))
-            self.buf = np.zeros(0, np.float32)
-            self.turn_open = False
+            self._clear()
         return events
 
     def _find_onset(self, decisions: np.ndarray) -> Optional[int]:
@@ -253,13 +293,28 @@ class RealtimeServer:
         self.lock = lock if lock is not None else threading.Lock()
         self.partial_every_s = partial_every_s
         self.ep_config = endpointer_config or EndpointerConfig()
-        if vad_fn is None:
-            from tiny_audio_tpu.vad import frame_vad_auto
-
-            vad_fn = lambda a: frame_vad_auto(a)[0]  # noqa: E731
+        # Injected vad_fn (tests / custom oracles) runs in batch mode; the
+        # default uses the trained VAD incrementally on the HOST
+        # (vad.StreamingVad: numpy, O(new audio), no XLA dispatch — batch
+        # re-scoring of a growing buffer recompiled an eager kernel per
+        # shape through the TPU tunnel, ~200 s endpoint latency), falling
+        # back to the batch heuristic when no weights are present.
         self.vad_fn = vad_fn
+        if vad_fn is None:
+            from tiny_audio_tpu.vad import StreamingVad, frame_vad_auto
+
+            if StreamingVad.make() is None:
+                self.vad_fn = lambda a: frame_vad_auto(a)[0]  # noqa: E731
         self._server = None
         self._thread: Optional[threading.Thread] = None
+
+    def _make_endpointer(self) -> TurnEndpointer:
+        if self.vad_fn is not None:
+            return TurnEndpointer(self.vad_fn, self.ep_config)
+        from tiny_audio_tpu.vad import StreamingVad
+
+        return TurnEndpointer(None, self.ep_config,
+                              vad_stream=StreamingVad.make())
 
     # ------------------------------------------------------------- lifecycle
 
@@ -311,7 +366,7 @@ class RealtimeServer:
             "expires_at": int(time.time()) + 3600,
         }))
 
-        ep = TurnEndpointer(self.vad_fn, self.ep_config)
+        ep = self._make_endpointer()
         turn_order = 0
         total_samples = 0
         t0 = time.time()
