@@ -236,3 +236,90 @@ def test_no_repeat_ngram_size_one_rejected():
 
     with _pytest.raises(ValueError):
         GenerationConfig(no_repeat_ngram_size=1)
+
+
+class TestBucketedPrompt:
+    """Right-padded prompts (prompt_len < T) must be token-exact vs the
+    unpadded call: pad rows are causally invisible in prefill, their cache
+    rows stay masked until the decode loop overwrites them, and the
+    penalty/ngram bookkeeping is offset by prompt_len (the serving-side
+    shape-bucketing contract — models/asr.py PROMPT_BUCKET)."""
+
+    def _padded(self, decoder, variables, ids, pad_to, gen, rng_key=None):
+        b, t = ids.shape
+        ids_pad = jnp.concatenate(
+            [ids, jnp.full((b, pad_to - t), gen.pad_token_id, jnp.int32)],
+            axis=1,
+        )
+        embeds_pad = decoder.apply(variables, ids_pad,
+                                   method=Qwen3Decoder.embed)
+        return generate_tokens(
+            decoder, variables, embeds_pad, ids_pad, gen, rng=rng_key,
+            prompt_len=jnp.int32(t),
+        )
+
+    @pytest.mark.parametrize("gen_kwargs", [
+        {},  # plain greedy
+        {"repetition_penalty": 1.3},
+        {"no_repeat_ngram_size": 2},
+        {"repetition_penalty": 1.2, "no_repeat_ngram_size": 3,
+         "min_new_tokens": 4},
+    ])
+    def test_padded_matches_exact(self, decoder_and_params, rng, gen_kwargs):
+        decoder, variables = decoder_and_params
+        b, t = 2, 7
+        ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(b, t)),
+                          jnp.int32)
+        embeds = decoder.apply(variables, ids, method=Qwen3Decoder.embed)
+        gen = GenerationConfig(max_new_tokens=12, eos_token_ids=(257,),
+                               pad_token_id=0, **gen_kwargs)
+        exact, exact_len = generate_tokens(decoder, variables, embeds, ids, gen)
+        for pad_to in (8, 16, 33):
+            padded, padded_len = self._padded(
+                decoder, variables, ids, pad_to, gen
+            )
+            np.testing.assert_array_equal(np.asarray(exact),
+                                          np.asarray(padded))
+            np.testing.assert_array_equal(np.asarray(exact_len),
+                                          np.asarray(padded_len))
+
+    def test_padded_stream_matches_exact_batch(self, decoder_and_params, rng):
+        decoder, variables = decoder_and_params
+        ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 5)),
+                          jnp.int32)
+        embeds = decoder.apply(variables, ids, method=Qwen3Decoder.embed)
+        gen = GenerationConfig(max_new_tokens=16, eos_token_ids=(),
+                               pad_token_id=0, no_repeat_ngram_size=2)
+        batch_tokens, _ = generate_tokens(decoder, variables, embeds, ids, gen)
+        ids_pad = jnp.concatenate(
+            [ids, jnp.full((1, 11), gen.pad_token_id, jnp.int32)], axis=1
+        )
+        embeds_pad = decoder.apply(variables, ids_pad,
+                                   method=Qwen3Decoder.embed)
+        streamed = list(stream_generate(
+            decoder, variables, embeds_pad, ids_pad, gen, prompt_len=5
+        ))
+        np.testing.assert_array_equal(np.asarray(batch_tokens)[0], streamed)
+
+    def test_model_generate_bucket_invariance(self, rng):
+        """ASRModel.generate pads internally: forcing different bucket
+        sizes must not change tokens (same real prompt, different pad)."""
+        import tiny_audio_tpu.models.asr as asr_mod
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        processor = ASRPipeline(model).processor
+        audio = rng.standard_normal(8000).astype(np.float32) * 0.1
+        feats = processor.extract_features([audio])
+        args = (feats["input_features"], feats["audio_attention_mask"])
+        out_64 = model.generate(*args)
+        orig = asr_mod.PROMPT_BUCKET
+        try:
+            asr_mod.PROMPT_BUCKET = 128
+            out_128 = model.generate(*args)
+        finally:
+            asr_mod.PROMPT_BUCKET = orig
+        np.testing.assert_array_equal(out_64, out_128)

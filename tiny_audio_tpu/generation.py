@@ -169,6 +169,7 @@ def generate_tokens(
     gen: GenerationConfig,
     rng: Optional[jax.Array] = None,
     fused_decode: Optional[bool] = None,
+    prompt_len: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Prefill + fused decode loop.
 
@@ -185,6 +186,15 @@ def generate_tokens(
             None resolves from TA_PALLAS_DECODE here, OUTSIDE the jit, so the
             env is re-read every call instead of being baked into a None-keyed
             trace (the round-1 env-sniffing-inside-jit trap).
+        prompt_len: traced scalar count of REAL prompt rows when the caller
+            right-padded the prompt to a static bucket (rows
+            ``prompt_len..T-1`` are padding).  The graph stays keyed on the
+            padded T only, so every distinct real length in a bucket reuses
+            one compile; decoding starts at ``prompt_len``, progressively
+            overwriting the padded cache rows (which the kv-validity mask
+            excludes until then) — token-exact vs the unpadded call because
+            causal attention never lets a real row see the later pad rows.
+            None means the prompt is exact (t real rows).
 
     Returns:
         (tokens [B, max_new_tokens] int32 — pad_token_id after EOS,
@@ -192,8 +202,11 @@ def generate_tokens(
     """
     if fused_decode is None:
         fused_decode = _fused_decode_available(decoder)
+    if prompt_len is None:
+        prompt_len = jnp.int32(inputs_embeds.shape[1])
     return _generate_tokens(
-        decoder, variables, inputs_embeds, input_ids, gen, rng, fused_decode
+        decoder, variables, inputs_embeds, input_ids, gen, rng, fused_decode,
+        jnp.asarray(prompt_len, jnp.int32),
     )
 
 
@@ -210,6 +223,7 @@ def _generate_tokens(
     gen: GenerationConfig,
     rng: Optional[jax.Array],
     fused_decode: bool,
+    prompt_len: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
     cfg = decoder.cfg
     b, t, _ = inputs_embeds.shape
@@ -220,18 +234,25 @@ def _generate_tokens(
     cache = decoder.init_cache(b, s, dtype=decoder.dtype)
 
     # ---- prefill ----
+    # Pad rows (>= prompt_len) run through prefill too: causality keeps
+    # them invisible to every real row, their cache rows stay masked until
+    # the decode loop overwrites them, and their rotary positions are
+    # irrelevant for the same reason.
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
     prompt_pad = jnp.ones((b, t), jnp.int32)
     logits, cache = decoder.apply(
         variables, inputs_embeds, positions, padding_mask=prompt_pad,
-        cache=cache, cache_index=0, last_logit_only=True,
+        cache=cache, cache_index=0, last_logit_index=prompt_len - 1,
     )
-    last_logits = logits[:, -1].astype(jnp.float32)
+    last_logits = logits[:, 0].astype(jnp.float32)
 
+    prompt_valid = jnp.arange(t) < prompt_len  # [t], False on pad rows
     use_penalty = gen.repetition_penalty != 1.0
     if use_penalty:
         seen = jnp.zeros((b, cfg.vocab_size), dtype=bool)
-        seen = seen.at[jnp.arange(b)[:, None], input_ids].set(True)
+        seen = seen.at[jnp.arange(b)[:, None], input_ids].max(
+            jnp.broadcast_to(prompt_valid, (b, t))
+        )
     else:
         seen = jnp.zeros((b, 1), dtype=bool)  # placeholder
 
@@ -254,7 +275,8 @@ def _generate_tokens(
             )
         if use_ngram:
             logits_f32 = _ban_repeated_ngrams(
-                logits_f32, all_tokens, t + step, gen.no_repeat_ngram_size
+                logits_f32, all_tokens, prompt_len + step,
+                gen.no_repeat_ngram_size
             )
         if gen.min_new_tokens > 0 and gen.eos_token_ids:
             logits_f32 = _mask_eos(
@@ -278,7 +300,9 @@ def _generate_tokens(
     if use_penalty:
         seen = seen.at[jnp.arange(b), tok0].set(True)
     if use_ngram:
-        all_tokens = all_tokens.at[:, t].set(tok0)
+        # generated ids append at prompt_len (overwriting the right-pad
+        # region first) so the ngram ring stays contiguous
+        all_tokens = all_tokens.at[:, prompt_len].set(tok0)
 
     if fused_decode:
         from tiny_audio_tpu.ops.fused_decode import flatten_cache
@@ -302,7 +326,7 @@ def _generate_tokens(
 
     def body(st):
         step = st["step"]
-        pos = t + step - 1  # position of the token being fed
+        pos = prompt_len + step - 1  # position of the token being fed
         if fused_decode:
             # in-kernel cache ownership: the step appends (layer-by-layer,
             # aliased in place) AND attends — ops/fused_decode.py
@@ -336,7 +360,7 @@ def _generate_tokens(
             seen = seen.at[jnp.arange(b), tok].set(True)
         all_toks = st["all_tokens"]
         if use_ngram:
-            all_toks = all_toks.at[:, t + step].set(tok)
+            all_toks = all_toks.at[:, prompt_len + step].set(tok)
         return {
             "cache": new_cache,
             "tokens": tokens,
@@ -359,22 +383,29 @@ def _generate_tokens(
 
 
 @functools.partial(jax.jit, static_argnames=("decoder", "gen"))
-def _stream_prefill(decoder, variables, inputs_embeds, input_ids, cache, rng, gen):
+def _stream_prefill(decoder, variables, inputs_embeds, input_ids, cache, rng,
+                    gen, prompt_len):
     """Prefill + FIRST token selection as one graph (eager logit ops over the
-    151k vocab through the remote-TPU tunnel cost ~30 ms per dispatch)."""
+    151k vocab through the remote-TPU tunnel cost ~30 ms per dispatch).
+
+    ``prompt_len`` (traced): real prompt rows; the tail up to T is padding
+    (see generate_tokens — same bucketed-prompt contract)."""
     b, t, _ = inputs_embeds.shape
     cfg = decoder.cfg
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
     logits, new_cache = decoder.apply(
         variables, inputs_embeds, positions,
         padding_mask=jnp.ones((b, t), jnp.int32),
-        cache=cache, cache_index=0, last_logit_only=True,
+        cache=cache, cache_index=0, last_logit_index=prompt_len - 1,
     )
-    last_logits = logits[:, -1].astype(jnp.float32)
+    last_logits = logits[:, 0].astype(jnp.float32)
 
+    prompt_valid = jnp.arange(t) < prompt_len
     if gen.repetition_penalty != 1.0:
         seen = jnp.zeros((b, cfg.vocab_size), dtype=bool)
-        seen = seen.at[jnp.arange(b)[:, None], input_ids].set(True)
+        seen = seen.at[jnp.arange(b)[:, None], input_ids].max(
+            jnp.broadcast_to(prompt_valid, (b, t))
+        )
     else:
         seen = jnp.zeros((b, 1), dtype=bool)
     if gen.no_repeat_ngram_size >= 2:
@@ -391,7 +422,7 @@ def _stream_prefill(decoder, variables, inputs_embeds, input_ids, cache, rng, ge
         last_logits = _apply_repetition_penalty(last_logits, seen, gen.repetition_penalty)
     if gen.no_repeat_ngram_size >= 2:
         last_logits = _ban_repeated_ngrams(
-            last_logits, all_tokens, jnp.int32(t), gen.no_repeat_ngram_size
+            last_logits, all_tokens, prompt_len, gen.no_repeat_ngram_size
         )
     if gen.min_new_tokens > 0 and gen.eos_token_ids:
         last_logits = _mask_eos(
@@ -452,6 +483,7 @@ def stream_generate(
     input_ids: jax.Array,
     gen: GenerationConfig,
     rng: Optional[jax.Array] = None,
+    prompt_len: Optional[int] = None,
 ) -> Iterator[int]:
     """Token-by-token generator (batch size 1): prefill once, then one jitted
     step per token — the TTFB-optimized streaming path.
@@ -459,17 +491,23 @@ def stream_generate(
     The prefill/step graphs live at module scope so their jit caches persist
     across calls (per-utterance closures would retrace every request), and
     every logit-sized op is in-graph; the only per-token host op is the
-    token sync that feeds the stream."""
+    token sync that feeds the stream.
+
+    ``prompt_len``: host int count of real prompt rows when the caller
+    right-padded to a static bucket (generate_tokens contract) — it feeds
+    traced scalars only, so one prefill graph serves the whole bucket."""
     assert inputs_embeds.shape[0] == 1, "streaming is defined for batch 1"
 
     b, t, _ = inputs_embeds.shape
+    plen = t if prompt_len is None else int(prompt_len)
     s = -(-(t + gen.max_new_tokens) // 16) * 16  # 16-row align: Pallas DMA slabs
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     cache = decoder.init_cache(b, s, dtype=decoder.dtype)
     tok, cache, seen, all_tokens, rng = _stream_prefill(
-        decoder, variables, inputs_embeds, input_ids, cache, rng, gen
+        decoder, variables, inputs_embeds, input_ids, cache, rng, gen,
+        jnp.int32(plen),
     )
 
     eos = set(gen.eos_token_ids)
@@ -481,8 +519,8 @@ def stream_generate(
         if step == gen.max_new_tokens - 1:
             return
         tok, cache, seen, all_tokens, rng = _stream_step(
-            decoder, variables, tok, t + step, t, cache, seen, all_tokens,
-            rng, gen,
+            decoder, variables, tok, plen + step, plen, cache, seen,
+            all_tokens, rng, gen,
         )
 
 

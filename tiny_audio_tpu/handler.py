@@ -95,18 +95,31 @@ class EndpointHandler:
                                                 np.float32)))
             return total
         buckets = getattr(self.pipe.processor, "mel_buckets", (3000,))
+        prev = 0
         for frames in buckets:
-            n = frames * mel.HOP_LENGTH
-            _compile(f"solo bucket {frames}f",
-                     lambda n=n: self.pipe(np.zeros(n, np.float32)))
-            if batched:
-                for rows in self.pipe.BATCH_BUCKETS[1:]:  # 1 == solo above
-                    _compile(
-                        f"batch bucket {frames}f x{rows}",
-                        lambda n=n, rows=rows: self.pipe.transcribe_batch(
-                            [np.zeros(n, np.float32)] * rows
-                        ),
-                    )
+            # Two lengths per mel bucket — its bottom and top — because the
+            # generate graph is ALSO keyed on the PROMPT_BUCKET the real
+            # audio-token count falls in (models/asr.py): a mel bucket's
+            # token range spans at most two prompt buckets (bucket step /
+            # 8 frames-per-token < 64), so warming both ends covers every
+            # shape the bucket can dispatch.  The duplicate case is a
+            # cheap warm re-run.
+            lengths = sorted({(prev + 1) * mel.HOP_LENGTH,
+                              frames * mel.HOP_LENGTH})
+            prev = frames
+            for n in lengths:
+                _compile(f"solo bucket {frames}f ({n / 16000:.1f}s)",
+                         lambda n=n: self.pipe(np.zeros(n, np.float32)))
+                if batched:
+                    for rows in self.pipe.BATCH_BUCKETS[1:]:  # 1 == solo
+                        _compile(
+                            f"batch bucket {frames}f x{rows} "
+                            f"({n / 16000:.1f}s)",
+                            lambda n=n, rows=rows:
+                            self.pipe.transcribe_batch(
+                                [np.zeros(n, np.float32)] * rows
+                            ),
+                        )
         if longform:
             # The pipeline pads chunk groups to power-of-2 batch buckets,
             # so 2/4/8 full-chunk inputs compile EVERY longform generate

@@ -47,6 +47,14 @@ from tiny_audio_tpu.tokenization import AUDIO_TOKEN, ByteTokenizer, HFTokenizerA
 
 TRANSCRIBE_PROMPT = "Transcribe the speech to text"
 
+#: generate-time prompts are right-padded to a multiple of this, bounding
+#: the number of distinct prefill/decode graph shapes (audio-token counts
+#: track real mel length exactly — a parity contract — so without
+#: bucketing every distinct clip duration is its own compile).  64 tokens
+#: ≈ 5 s of audio per bucket at the MLP projector's 12.5 Hz; worst-case
+#: prefill overhead is 63 padded rows on a ~500-row prompt.
+PROMPT_BUCKET = 64
+
 
 def _is_lora_path(path) -> bool:
     return any("lora" in str(getattr(k, "key", k)) for k in path)
@@ -356,6 +364,7 @@ class ASRModel:
         prompt_mask,
         gen: GenerationConfig,
         fused_decode: bool = False,
+        prompt_len=None,
     ):
         audio_embeds, _ = self._encode_audio(
             params, input_features, audio_attention_mask, train=False
@@ -373,6 +382,7 @@ class ASRModel:
         return generate_tokens(
             self.decoder, {"params": params["decoder"]},
             inputs_embeds, input_ids, gen, fused_decode=fused_decode,
+            prompt_len=prompt_len,
         )
 
     def generate(
@@ -401,14 +411,31 @@ class ASRModel:
         )
         n_audio = self._num_audio_tokens(real_mel)
         ids = self.build_prompt_ids(n_audio, user_prompt, system_prompt)
-        input_ids = jnp.asarray(np.tile(np.array(ids, np.int32), (b, 1)))
-        prompt_mask = jnp.ones_like(input_ids)
 
         gen = self.gen_config
         if overrides:
             import dataclasses as _dc
 
             gen = _dc.replace(gen, **overrides)
+
+        # Right-pad the prompt to a static PROMPT_BUCKET multiple so the
+        # generate graph is keyed on the bucket, not the exact token count
+        # — the audio-token count tracks REAL mel length (an exact-parity
+        # contract), so without this every distinct clip duration compiles
+        # its own prefill+decode graph (~80 ms of audio per distinct
+        # count; serving mixed-duration traffic recompiled constantly).
+        # Token-exact: pad rows are causally invisible (generation.py
+        # generate_tokens docstring).  Beams keep exact prompts (rare
+        # path; generate_beams has no prompt_len plumbing).
+        t_real = len(ids)
+        t_pad = (t_real if gen.num_beams > 1
+                 else -(-t_real // PROMPT_BUCKET) * PROMPT_BUCKET)
+        ids_np = np.full((b, t_pad), gen.pad_token_id, np.int32)
+        ids_np[:, :t_real] = ids
+        input_ids = jnp.asarray(ids_np)
+        prompt_mask = jnp.asarray(
+            np.broadcast_to(np.arange(t_pad) < t_real, (b, t_pad)).astype(np.int32)
+        )
 
         # Resolve the fused-decode env OUTSIDE the jit: _generate_jit's
         # cache is keyed on this static flag, so flipping TA_PALLAS_DECODE
@@ -419,6 +446,7 @@ class ASRModel:
             self.params, input_features, audio_attention_mask,
             input_ids, prompt_mask, gen,
             fused_decode=_fused_decode_available(self.decoder),
+            prompt_len=jnp.int32(t_real),
         )
         return np.asarray(tokens)
 
@@ -477,7 +505,14 @@ class ASRModel:
         real_mel = int(np.asarray(audio_attention_mask).sum(axis=-1).max())
         n_audio = self._num_audio_tokens(real_mel)
         ids = self.build_prompt_ids(n_audio, user_prompt, system_prompt)
-        input_ids = jnp.asarray(np.array(ids, np.int32)[None, :])
+        # bucketed prompt (see PROMPT_BUCKET / generate): one prefill graph
+        # per bucket instead of one per distinct utterance duration — the
+        # realtime server's partials hit a new duration every call
+        t_real = len(ids)
+        t_pad = -(-t_real // PROMPT_BUCKET) * PROMPT_BUCKET
+        ids_np = np.full((1, t_pad), self.gen_config.pad_token_id, np.int32)
+        ids_np[0, :t_real] = ids
+        input_ids = jnp.asarray(ids_np)
 
         inputs_embeds = self._splice_embeds_jit(
             self.params, input_features, audio_attention_mask, input_ids
@@ -488,6 +523,7 @@ class ASRModel:
             for tok in stream_generate(
                 self.decoder, {"params": self.params["decoder"]},
                 inputs_embeds, input_ids, self.gen_config,
+                prompt_len=t_real,
             ):
                 pending.append(tok)
                 text = self.tokenizer.decode(pending, skip_special_tokens=True)

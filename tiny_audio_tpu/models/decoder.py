@@ -208,6 +208,7 @@ class Qwen3Decoder(nn.Module):
         cache_index: int | jax.Array = 0,
         return_hidden: bool = False,
         last_logit_only: bool = False,
+        last_logit_index: Optional[jax.Array] = None,
     ):
         """``last_logit_only`` computes the LM head on the final position
         only (the prefill callers in ``generation.py`` discard every other
@@ -216,7 +217,11 @@ class Qwen3Decoder(nn.Module):
         full-prompt head through the downstream ``logits[:, -1]`` (201 ms
         either way), so this is a compile-time guarantee of that elision —
         the ~4.6 TFLOP matmul + ~4.5 GB logits write must never come back —
-        not a measured speedup."""
+        not a measured speedup.
+
+        ``last_logit_index`` (traced scalar) selects THAT row instead of
+        the last one — the bucketed-prompt prefill path, where real rows
+        end at the traced prompt length and the tail is padding."""
         cfg = self.cfg
         cos, sin = rotary_embed(positions, cfg.head_dim, cfg.rope_theta)
         x = inputs_embeds.astype(self.dtype)
@@ -238,7 +243,9 @@ class Qwen3Decoder(nn.Module):
             None if per_row_index else cache_index,
         )
         x = self.norm(x)
-        if last_logit_only:
+        if last_logit_index is not None:
+            x = jax.lax.dynamic_slice_in_dim(x, last_logit_index, 1, axis=1)
+        elif last_logit_only:
             x = x[:, -1:]
         if return_hidden:
             logits = None
