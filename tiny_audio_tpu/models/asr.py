@@ -315,6 +315,19 @@ class ASRModel:
         )
         return int(self.projector.get_output_length(enc_len))
 
+    def _bucket_prompt_len(self, t_real: int, n_audio: int) -> int:
+        """Padded prompt length: next PROMPT_BUCKET multiple, clamped to
+        the full-encoder-window prompt length.  The clamp makes the top
+        bucket exactly the full-window shape — the dominant production
+        prompt (every 30 s serving clip and every longform chunk), which
+        therefore pads ZERO rows, while near-full clips reuse its graph
+        instead of spilling into a larger bucket."""
+        t_max = t_real - n_audio + self._num_audio_tokens(
+            self.mel_window_frames()
+        )
+        bucketed = -(-t_real // PROMPT_BUCKET) * PROMPT_BUCKET
+        return max(min(bucketed, t_max), t_real)
+
     def build_prompt_ids(
         self,
         num_audio_tokens: int,
@@ -429,7 +442,7 @@ class ASRModel:
         # path; generate_beams has no prompt_len plumbing).
         t_real = len(ids)
         t_pad = (t_real if gen.num_beams > 1
-                 else -(-t_real // PROMPT_BUCKET) * PROMPT_BUCKET)
+                 else self._bucket_prompt_len(t_real, n_audio))
         ids_np = np.full((b, t_pad), gen.pad_token_id, np.int32)
         ids_np[:, :t_real] = ids
         input_ids = jnp.asarray(ids_np)
@@ -509,7 +522,7 @@ class ASRModel:
         # per bucket instead of one per distinct utterance duration — the
         # realtime server's partials hit a new duration every call
         t_real = len(ids)
-        t_pad = -(-t_real // PROMPT_BUCKET) * PROMPT_BUCKET
+        t_pad = self._bucket_prompt_len(t_real, n_audio)
         ids_np = np.full((1, t_pad), self.gen_config.pad_token_id, np.int32)
         ids_np[0, :t_real] = ids
         input_ids = jnp.asarray(ids_np)
