@@ -106,3 +106,80 @@ class TestWeightlessFallback:
         assert [w["word"] for w in out] == ["one", "two"]
         assert all(w["fallback"] is True for w in out)
         assert out[0]["start"] == 0.0 and out[1]["end"] == pytest.approx(1.0)
+
+
+class TestBucketedEmissions:
+    """The jitted, length-bucketed emission forward must be exact on real
+    frames vs the unpadded forward (masked GroupNorm stats, zeroed rows
+    before the positional conv, masked attention keys)."""
+
+    def test_padded_matches_exact(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tiny_audio_tpu.models.wav2vec2 import (
+            Wav2Vec2CTC,
+            conv_frame_count,
+        )
+
+        model = Wav2Vec2CTC()
+        n = 5000
+        rng = np.random.default_rng(0)
+        wav = rng.standard_normal(n).astype(np.float32) * 0.1
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(wav[None])
+        )["params"]
+        exact = np.asarray(model.apply({"params": params}, wav[None]))[0]
+        padded_wav = np.zeros(16000, np.float32)
+        padded_wav[:n] = wav
+        padded = np.asarray(model.apply(
+            {"params": params}, padded_wav[None], n_samples=jnp.int32(n)
+        ))[0]
+        t = conv_frame_count(n)
+        assert exact.shape[0] == t
+        np.testing.assert_allclose(padded[:t], exact, atol=2e-4)
+
+    def test_aligner_uses_one_graph_per_bucket(self, monkeypatch):
+        """_emissions pads to SAMPLE_BUCKETS: distinct in-bucket lengths
+        hit the same jitted shape."""
+        import jax
+        import jax.numpy as jnp
+
+        from tiny_audio_tpu.alignment import ForcedAligner, _bucket_samples
+        from tiny_audio_tpu.models.wav2vec2 import Wav2Vec2CTC
+
+        assert _bucket_samples(3000) == 80000
+        assert _bucket_samples(80000) == 80000
+        assert _bucket_samples(80001) == 160000
+        assert _bucket_samples(480001) == 560000  # step continues past top
+
+        model = Wav2Vec2CTC()
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1280), jnp.float32)
+        )["params"]
+        monkeypatch.setattr(ForcedAligner, "_model", model)
+        monkeypatch.setattr(ForcedAligner, "_params", params)
+        monkeypatch.setattr(ForcedAligner, "_jit_apply", None)
+
+        shapes = []
+        orig = Wav2Vec2CTC.apply
+
+        def spy(self, variables, w, *a, **k):
+            shapes.append(w.shape)
+            return orig(self, variables, w, *a, **k)
+
+        monkeypatch.setattr(Wav2Vec2CTC, "apply", spy)
+        rng = np.random.default_rng(1)
+        e1 = ForcedAligner._emissions(
+            rng.standard_normal(7000).astype(np.float32)
+        )
+        e2 = ForcedAligner._emissions(
+            rng.standard_normal(9000).astype(np.float32)
+        )
+        # jit traces ONCE for the shared bucket shape: both lengths reuse
+        # one graph, so the underlying apply ran a single time
+        assert shapes == [(1, 80000)]
+        from tiny_audio_tpu.models.wav2vec2 import conv_frame_count
+
+        assert e1.shape[0] == conv_frame_count(7000)
+        assert e2.shape[0] == conv_frame_count(9000)

@@ -21,7 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tiny_audio_tpu.models.wav2vec2 import CTC_LABELS, Wav2Vec2CTC
+from tiny_audio_tpu.models.wav2vec2 import (
+    CTC_LABELS,
+    Wav2Vec2CTC,
+    conv_frame_count,
+)
 from tiny_audio_tpu.ops.ctc import ctc_backtrack, ctc_trellis
 
 FRAME_STRIDE = 320  # samples per CTC frame at 16 kHz -> 20 ms
@@ -29,12 +33,30 @@ FRAME_STRIDE = 320  # samples per CTC frame at 16 kHz -> 20 ms
 START_OFFSET = 0.06
 END_OFFSET = -0.03
 
+#: waveform-length buckets for the jitted emission forward (5 s steps to
+#: the 30 s window — the DEFAULT_MEL_BUCKETS grid in samples); past the
+#: top the step pattern continues, mirroring processing.bucket_frames
+SAMPLE_BUCKETS = tuple(f * 160 for f in (500, 1000, 1500, 2000, 2500, 3000))
+
+
+def _bucket_samples(n: int) -> int:
+    for b in SAMPLE_BUCKETS:
+        if n <= b:
+            return b
+    step = SAMPLE_BUCKETS[-1] - SAMPLE_BUCKETS[-2]
+    import math
+
+    return SAMPLE_BUCKETS[-1] + int(
+        math.ceil((n - SAMPLE_BUCKETS[-1]) / step) * step
+    )
+
 
 class ForcedAligner:
     """Lazy singleton aligner (mirrors the reference's class-level cache)."""
 
     _model: Optional[Wav2Vec2CTC] = None
     _params = None
+    _jit_apply = None
     _dictionary = {c: i for i, c in enumerate(CTC_LABELS)}
 
     @classmethod
@@ -43,6 +65,7 @@ class ForcedAligner:
         from flax import serialization
 
         cls._model = Wav2Vec2CTC()
+        cls._jit_apply = None  # rebind the jitted closure to the new model
         waveform = jnp.zeros((1, FRAME_STRIDE * 4), jnp.float32)
         template = cls._model.init(jax.random.PRNGKey(0), waveform)["params"]
         cls._params = serialization.from_bytes(
@@ -57,11 +80,25 @@ class ForcedAligner:
 
     @classmethod
     def _emissions(cls, waveform: np.ndarray) -> np.ndarray:
+        """[n] samples -> [T, 29] log-probs, via ONE jitted forward on a
+        length-bucketed waveform (exact per-frame: see Wav2Vec2CTC's
+        ``n_samples`` contract).  The eager per-clip-length apply this
+        replaces compiled a fresh graph for every distinct clip duration
+        and paid one tunnel dispatch per op (~150 ops) on remote TPUs."""
         assert cls._model is not None
-        out = cls._model.apply(
-            {"params": cls._params}, jnp.asarray(waveform[None, :])
+        if cls._jit_apply is None:
+            cls._jit_apply = jax.jit(
+                lambda p, w, n: cls._model.apply(
+                    {"params": p}, w, n_samples=n
+                )
+            )
+        n = int(waveform.shape[-1])
+        padded = np.zeros(_bucket_samples(n), np.float32)
+        padded[:n] = waveform
+        out = cls._jit_apply(
+            cls._params, jnp.asarray(padded[None, :]), jnp.int32(n)
         )
-        return np.asarray(out[0])
+        return np.asarray(out[0][: conv_frame_count(n)])
 
     @classmethod
     def tokenize_transcript(cls, text: str) -> list[int]:

@@ -13,7 +13,7 @@ back to uniform spans (same fallback the reference uses on trellis failure).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -39,26 +39,79 @@ NUM_HEADS = 12
 FFN_DIM = 3072
 
 
+def conv_frame_count(n_samples: int):
+    """Real output frames for ``n_samples`` of audio through the VALID-conv
+    feature extractor (works on host ints and traced scalars)."""
+    n = n_samples
+    for _, k, s in CONV_LAYERS:
+        n = (n - k) // s + 1
+    return n
+
+
+class _MaskedChannelNorm(nn.Module):
+    """GroupNorm with ``num_groups == channels`` (per-channel stats over
+    time) computed over REAL frames only — identical to ``nn.GroupNorm``
+    on unpadded input (same param tree: scale/bias [C]), exact under
+    right-padding where the stock op would fold pad frames into the
+    statistics."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, frame_valid: jax.Array) -> jax.Array:
+        # x: [B, T, C]; frame_valid: [T] bool
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        m = frame_valid[None, :, None]
+        denom = jnp.maximum(jnp.sum(frame_valid), 1).astype(x.dtype)
+        mean = jnp.sum(jnp.where(m, x, 0), axis=1, keepdims=True) / denom
+        var = jnp.sum(
+            jnp.where(m, (x - mean) ** 2, 0), axis=1, keepdims=True
+        ) / denom
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+
+
 class Wav2Vec2CTC(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, waveform: jax.Array) -> jax.Array:
-        """[B, S] float32 16 kHz audio -> [B, T, 29] log-probs (20 ms frames)."""
+    def __call__(self, waveform: jax.Array,
+                 n_samples: Optional[jax.Array] = None) -> jax.Array:
+        """[B, S] float32 16 kHz audio -> [B, T, 29] log-probs (20 ms frames).
+
+        ``n_samples`` (traced scalar): real sample count when ``waveform``
+        is right-padded to a static length bucket (the aligner pads so one
+        graph serves a duration range instead of compiling per clip
+        length).  Real-frame emissions are exact vs the unpadded call: the
+        convs are VALID (real frames' windows never touch padding), the
+        group norm masks pad frames out of its statistics, pad rows are
+        zeroed before the positional conv (reproducing its zero padding),
+        and self-attention masks pad keys.  Rows past
+        ``conv_frame_count(n_samples)`` are garbage — slice them off.
+        """
         x = waveform[:, :, None].astype(self.dtype)  # [B, S, 1]
+        n_real = (jnp.asarray(waveform.shape[1], jnp.int32)
+                  if n_samples is None
+                  else jnp.asarray(n_samples, jnp.int32))
         for i, (ch, k, s) in enumerate(CONV_LAYERS):
             x = nn.Conv(
                 ch, (k,), strides=(s,), padding="VALID", use_bias=False,
                 dtype=self.dtype, name=f"conv_{i}",
             )(x)
+            n_real = (n_real - k) // s + 1
             if i == 0:
-                # group norm over channels (num_groups == channels)
-                x = nn.GroupNorm(num_groups=ch, epsilon=1e-5,
-                                 dtype=self.dtype, name="conv_gn")(x)
+                x = _MaskedChannelNorm(name="conv_gn")(
+                    x, jnp.arange(x.shape[1]) < n_real
+                )
             x = nn.gelu(x, approximate=False)
 
+        frame_valid = jnp.arange(x.shape[1]) < n_real  # [T] real frames
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="fp_ln")(x)
         x = nn.Dense(D_MODEL, dtype=self.dtype, name="fp_proj")(x)
+        # zero pad rows: the positional conv's window must see the same
+        # zeros past the clip end as its own padding provides unpadded
+        x = jnp.where(frame_valid[None, :, None], x, 0)
 
         # Convolutional positional embedding (kernel 128, 16 groups)
         pos = nn.Conv(
@@ -70,6 +123,7 @@ class Wav2Vec2CTC(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="enc_ln")(x)
 
         b, t, _ = x.shape
+        key_mask = jnp.broadcast_to(frame_valid[None, :], (b, t))
         hd = D_MODEL // NUM_HEADS
         for i in range(NUM_LAYERS):
             name = f"layer_{i}"
@@ -81,6 +135,7 @@ class Wav2Vec2CTC(nn.Module):
                 q.reshape(b, t, NUM_HEADS, hd),
                 k.reshape(b, t, NUM_HEADS, hd),
                 v.reshape(b, t, NUM_HEADS, hd),
+                mask=key_mask,
             ).reshape(b, t, D_MODEL)
             x = residual + nn.Dense(D_MODEL, dtype=self.dtype, name=f"{name}_o")(out)
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"{name}_ln1")(x)
