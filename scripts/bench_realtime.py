@@ -18,7 +18,10 @@ VAD's validation domain — so endpointing exercises the REAL neural VAD, not
 an oracle.  Weights are random (latency does not depend on weight values).
 
 Run on the default (TPU) env:  python scripts/bench_realtime.py
-Env knobs: TA_BENCH_RT_SESSIONS (default 4), TA_BENCH_RT_SPEECH_S (default 4).
+Env knobs: TA_BENCH_RT_SESSIONS (default 4), TA_BENCH_RT_SPEECH_S (default
+4), TA_BENCH_RT_BATCHER=1 (coalesce turn decodes through the dynamic
+batcher — the high-session-count mode; warms the batch-row graphs for the
+session-length bucket instead of the full solo grid).
 """
 
 from __future__ import annotations
@@ -132,12 +135,22 @@ def main() -> None:
         cfg.kv_cache_dtype = os.environ.get("TA_BENCH_KV", "int8")
     model = ASRModel(cfg, seed=0)
     handler = EndpointHandler(pipeline=ASRPipeline(model))
+    use_batcher = bool(os.environ.get("TA_BENCH_RT_BATCHER"))
     t0 = time.time()
     if os.environ.get("TA_BENCH_RT_TINY"):
         # tiny config's encoder window is smaller than the production mel
         # buckets warmup compiles; one direct call warms the tiny graphs
         handler.pipe({"array": np.zeros(16000, np.float32),
                       "sampling_rate": 16000})
+    elif use_batcher:
+        # batcher mode: warm exactly the shapes this bench dispatches —
+        # solo + BATCH_BUCKETS rows at the session turn lengths (every
+        # turn here is speech_s + trimmings, one mel/prompt bucket)
+        for n in (1600, int((speech_s + 2.0) * 16000)):
+            for rows in handler.pipe.BATCH_BUCKETS:
+                handler.pipe.transcribe_batch(
+                    [np.zeros(n, np.float32)] * rows
+                )
     else:
         # longform=False: realtime turns are force-closed at 28 s, so the
         # chunked >30 s graphs never run in this server
@@ -145,8 +158,15 @@ def main() -> None:
                        log=lambda *_: None)
     warmup_s = time.time() - t0
 
+    batcher = None
+    if use_batcher:
+        from tiny_audio_tpu.batching import DynamicBatcher
+
+        batcher = DynamicBatcher(handler.pipe, max_batch=16,
+                                 max_wait_ms=30.0)
     server = RealtimeServer(
-        handler.pipe, host="127.0.0.1", port=0, partial_every_s=0.5
+        handler.pipe, host="127.0.0.1", port=0, partial_every_s=0.5,
+        batcher=batcher,
     ).start()
 
     results = [dict() for _ in range(n_sessions)]
@@ -184,6 +204,7 @@ def main() -> None:
             "silence_window_s": 0.64,  # endpointer floor inside the latency
             "wall_s": round(wall, 1),
             "warmup_s": round(warmup_s, 1),
+            "batched_decodes": use_batcher,
             "backend": jax.default_backend(),
         },
     }), flush=True)

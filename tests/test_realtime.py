@@ -497,3 +497,67 @@ class TestRealtimeSession:
             finals = [m for m in results[key]
                       if m["type"] == "Turn" and m["end_of_turn"]]
             assert len(finals) == 1
+
+
+class TestBatchedTurnDecodes:
+    """RealtimeServer(batcher=...) coalesces turn decodes from concurrent
+    sessions through the dynamic batcher instead of lock-serializing."""
+
+    @pytest.fixture()
+    def batched_server(self):
+        from tiny_audio_tpu.batching import DynamicBatcher
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        pipe = ASRPipeline(
+            ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        )
+        batcher = DynamicBatcher(pipe, max_batch=4, max_wait_ms=30.0)
+        server = RealtimeServer(
+            pipe, host="127.0.0.1", port=0,
+            partial_every_s=0.0, vad_fn=amp_vad, batcher=batcher,
+            endpointer_config=EndpointerConfig(update_samples=1),
+        ).start()
+        yield server, batcher
+        server.shutdown()
+        batcher.close()
+
+    def test_finals_flow_through_batcher(self, batched_server):
+        server, batcher = batched_server
+        submitted = []
+        orig = batcher.submit
+
+        def spy(audio, user_prompt=None):
+            submitted.append(np.asarray(audio).size)
+            return orig(audio, user_prompt)
+
+        batcher.submit = spy
+        msgs = _session(server, [tone(0.8), silence(1.0)])
+        finals = [m for m in msgs
+                  if m["type"] == "Turn" and m["end_of_turn"]]
+        assert len(finals) == 1
+        assert isinstance(finals[0]["transcript"], str)
+        assert submitted  # the final's decode went through the batcher
+
+    def test_concurrent_sessions_share_batches(self, batched_server):
+        server, _ = batched_server
+        results = [None] * 3
+
+        def run(i):
+            results[i] = _session(server, [tone(0.8), silence(1.0)])
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for msgs in results:
+            assert msgs is not None
+            finals = [m for m in msgs
+                      if m["type"] == "Turn" and m["end_of_turn"]]
+            assert len(finals) == 1
+
+    def test_lock_defaults_to_batcher_lock(self, batched_server):
+        server, batcher = batched_server
+        assert server.lock is batcher.lock

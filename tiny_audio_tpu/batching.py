@@ -79,6 +79,11 @@ class DynamicBatcher:
         self._q.put((audio, user_prompt, fut))
         return fut
 
+    def pending(self) -> int:
+        """Requests waiting for a batch slot (approximate; used by the
+        realtime server to emit partials only on an idle queue)."""
+        return self._q.qsize()
+
     def close(self) -> None:
         self._stop = True
         self._q.put(None)  # wake the dispatcher
