@@ -106,7 +106,13 @@ def run_session(port: int, seed: int, speech_s: float, out: dict) -> None:
     if partials and t_first_speech:
         out["first_partial_s"] = partials[0][0] - t_first_speech
     if finals and t_last_speech:
-        out["endpoint_latency_s"] = finals[0][0] - t_last_speech
+        # Synth word pauses can exceed the 640 ms endpoint window and split
+        # the utterance into several turns; the endpoint latency is the
+        # CLOSING final — the first one after the last speech chunk (the
+        # first final overall may precede it, yielding negative garbage).
+        closing = [t for t, _ in finals if t >= t_last_speech]
+        if closing:
+            out["endpoint_latency_s"] = closing[0] - t_last_speech
 
 
 def main() -> None:

@@ -176,6 +176,46 @@ class TestLifecycle:
             server.shutdown()
             eng.close()
 
+    def test_prefill_one_graph_per_prompt_bucket(self, tiny_pipe):
+        """Different clip durations inside one prompt bucket must share ONE
+        prefill graph: the engine right-pads prompts to PROMPT_BUCKET
+        multiples (a real-length-keyed graph recompiled per ~80 ms of
+        duration at request time, inside the shared lock)."""
+        from tiny_audio_tpu.generation import prefill_prompt_cache
+
+        eng = _engine(tiny_pipe)
+        fut0 = eng.submit(_clip(60, 8000))
+        _run_until_done(eng, [fut0])
+        before = prefill_prompt_cache._cache_size()
+        # 9000 and 15000 samples differ in real prompt length but share the
+        # tiny config's single 128-token bucket (probed: t_real 100/104)
+        futs = [eng.submit(_clip(61, 9000))]
+        _run_until_done(eng, futs)
+        futs.append(eng.submit(_clip(62, 15000)))
+        _run_until_done(eng, [futs[-1]])
+        assert prefill_prompt_cache._cache_size() == before
+
+    def test_slot_pool_survives_prefill_failure(self, tiny_pipe):
+        """A prefill that raises must fail the futures WITHOUT leaking the
+        popped slots — each leak shrank the pool until _admit deadlocked."""
+        eng = _engine(tiny_pipe, n_slots=4)
+        orig = eng.model._splice_embeds_jit
+        eng.model._splice_embeds_jit = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("injected prefill failure")
+        )
+        try:
+            fut = eng.submit(_clip(70))
+            admitted = eng._admit()
+            with pytest.raises(RuntimeError, match="injected"):
+                eng._prefill_and_insert(admitted)
+        finally:
+            eng.model._splice_embeds_jit = orig
+        assert sorted(eng._free) == list(range(4))  # nothing leaked
+        # pool still serves new work
+        fut2 = eng.submit(_clip(71))
+        _run_until_done(eng, [fut2])
+        assert isinstance(fut2.result(timeout=5), str)
+
     def test_threaded_end_to_end(self, tiny_pipe):
         """The real driver thread: staggered submits from the caller side."""
         import time

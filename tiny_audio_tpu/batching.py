@@ -70,13 +70,20 @@ class DynamicBatcher:
         """Enqueue one short-clip request; resolves to the transcript str.
 
         Raises :class:`BacklogFull` when the pending queue exceeds
-        ``max_queue`` (callers translate to 503/retry)."""
+        ``max_queue`` (callers translate to 503/retry), or
+        :class:`RuntimeError` after :meth:`close` — a put that raced past
+        the close-time drain would leave its Future unresolved and the
+        caller blocked for the full result timeout."""
+        if self._stop:
+            raise RuntimeError("DynamicBatcher is closed")
         if self._q.qsize() >= self.max_queue:
             raise BacklogFull(
                 f"request queue full ({self.max_queue} pending)"
             )
         fut: Future = Future()
         self._q.put((audio, user_prompt, fut))
+        if self._stop:  # raced close(): its drain may have missed this put
+            self._drain_pending()
         return fut
 
     def pending(self) -> int:
@@ -88,8 +95,12 @@ class DynamicBatcher:
         self._stop = True
         self._q.put(None)  # wake the dispatcher
         self._thread.join(timeout=10)
-        # Fail still-queued requests NOW: HTTP threads blocked in
-        # fut.result(timeout=600) must not hang through shutdown.
+        self._drain_pending()
+
+    def _drain_pending(self) -> None:
+        """Fail still-queued requests NOW: HTTP threads blocked in
+        fut.result(timeout=600) must not hang through shutdown.  Called
+        from close() and from a submit() that raced past it."""
         while True:
             try:
                 item = self._q.get_nowait()
@@ -138,7 +149,8 @@ class DynamicBatcher:
                             [a for a, _ in items], user_prompt=prompt
                         )
                     for f, text in zip(futs, texts):
-                        f.set_result(text)
+                        if not f.done():  # shutdown drain may have failed it
+                            f.set_result(text)
                 except BaseException as e:  # one bad batch must not wedge callers
                     for f in futs:
                         if not f.done():

@@ -132,32 +132,42 @@ class ContinuousEngine:
 
         t_all = _time.time()
         proc = self.pipe.processor
+        prev = 0
         for bi, frames in enumerate(proc.mel_buckets):
             if buckets is not None and frames not in buckets:
+                prev = frames
                 continue
-            # same per-bucket clip recipe as handler.warmup
-            clip = np.zeros(frames * _mel.HOP_LENGTH, np.float32)
-            for b in self.PREFILL_BUCKETS:
-                if b > self.n_slots:
-                    continue
-                t0 = _time.time()
-                reqs = [
-                    {"audio": clip, "prompt": None, "future": Future()}
-                    for _ in range(b)
-                ]
-                self._prefill_group(None, reqs)
-                if self._active():  # also compiles the decode chunk graph
-                    self._decode_one_chunk()
-                for sid, slot in enumerate(self._slots):
-                    if slot is not None:
-                        slot["future"].cancel()
-                        self._release(sid)
-                log(f"[engine-warmup] mel bucket {bi} ({frames}f) x b{b}: "
-                    f"{_time.time() - t0:.1f}s")
+            # Both ends of each mel bucket, like handler.warmup: the
+            # splice/prefill/insert graphs are keyed on the PROMPT_BUCKET
+            # the real audio-token count falls in, and a mel bucket's
+            # token range spans at most two prompt buckets.
+            lengths = sorted({(prev + 1) * _mel.HOP_LENGTH,
+                              frames * _mel.HOP_LENGTH})
+            prev = frames
+            for n in lengths:
+                clip = np.zeros(n, np.float32)
+                for b in self.PREFILL_BUCKETS:
+                    if b > self.n_slots:
+                        continue
+                    t0 = _time.time()
+                    reqs = [
+                        {"audio": clip, "prompt": None, "future": Future()}
+                        for _ in range(b)
+                    ]
+                    self._prefill_group(None, reqs)
+                    if self._active():  # also compiles the decode chunk graph
+                        self._decode_one_chunk()
+                    for sid, slot in enumerate(self._slots):
+                        if slot is not None:
+                            slot["future"].cancel()
+                            self._release(sid)
+                    log(f"[engine-warmup] mel bucket {bi} ({frames}f, "
+                        f"{n / 16000:.1f}s) x b{b}: "
+                        f"{_time.time() - t0:.1f}s")
         total = _time.time() - t_all
         log(f"[engine-warmup] total {total:.1f}s "
-            f"({len(proc.mel_buckets)} mel x {len(self.PREFILL_BUCKETS)} "
-            "prefill shapes + decode chunk)")
+            f"({len(proc.mel_buckets)} mel buckets x 2 ends x "
+            f"{len(self.PREFILL_BUCKETS)} prefill shapes + decode chunk)")
         return total
 
     def submit(self, audio, user_prompt: Optional[str] = None) -> Future:
@@ -266,7 +276,24 @@ class ContinuousEngine:
         mel_len = int(np.max(feats["mel_lengths"]))
         n_audio = model._num_audio_tokens(mel_len)
         ids = model.build_prompt_ids(n_audio, prompt)
-        input_ids = jnp.asarray(np.tile(np.array(ids, np.int32), (n_real, 1)))
+        # Right-pad to the PROMPT_BUCKET multiple (same contract as
+        # ASRModel.generate): the audio-token count tracks REAL mel length,
+        # so without bucketing every ~80 ms of clip duration is a distinct
+        # prompt length — a cold splice/prefill/insert compile at request
+        # time, inside the shared lock.  Pad rows are causally invisible in
+        # prefill; insert_slots records the REAL length, so decode resumes
+        # at t_real and the garbage cache rows >= t_real stay kv-masked
+        # until overwritten (decode_chunk kv_valid).
+        t_real = len(ids)
+        t_pad = model._bucket_prompt_len(t_real, n_audio)
+        ids_np = np.full((t_pad,), self.gen.pad_token_id, np.int32)
+        ids_np[:t_real] = ids
+        input_ids = jnp.asarray(np.tile(ids_np, (n_real, 1)))
+        # Allocate slots up front but commit only on success: popping
+        # inside the device block leaked slots permanently when a
+        # prefill/insert raised (pool shrinks until _admit deadlocks).
+        slot_ids = self._free[-n_real:]
+        assert len(slot_ids) == n_real, "admitted more than free slots"
         with self.lock:
             embeds = model._splice_embeds_jit(
                 model.params,
@@ -275,11 +302,11 @@ class ContinuousEngine:
                 input_ids,
             )
             tok0, pcache = prefill_prompt_cache(
-                model.decoder, {"params": model.params["decoder"]}, embeds
+                model.decoder, {"params": model.params["decoder"]}, embeds,
+                jnp.int32(t_real),
             )
             tok0 = np.asarray(tok0)
 
-            slot_ids = [self._free.pop() for _ in range(n_real)]
             first_finished = np.array(
                 [
                     int(tok0[i]) in self._eos or self.gen.max_new_tokens <= 1
@@ -291,9 +318,10 @@ class ContinuousEngine:
                 pcache,
                 jnp.asarray(tok0, jnp.int32),
                 jnp.asarray(np.array(slot_ids, np.int32)),
-                jnp.full((n_real,), len(ids), jnp.int32),
+                jnp.full((n_real,), t_real, jnp.int32),
                 jnp.asarray(first_finished),
             )
+        del self._free[-n_real:]  # commit the allocation
         for i, (req, sid) in enumerate(zip(reqs, slot_ids)):
             slot = {
                 "future": req["future"],

@@ -759,23 +759,33 @@ def generate_beams(
 
 
 @functools.partial(jax.jit, static_argnames=("decoder",))
-def prefill_prompt_cache(decoder, variables, inputs_embeds):
+def prefill_prompt_cache(decoder, variables, inputs_embeds, prompt_len=None):
     """Prefill ONLY: prompt cache (sized to the prompt bucket) + greedy
     first token.  The engine scatters the result into free slots.
+
+    ``prompt_len``: traced scalar count of REAL prompt rows when the
+    caller right-padded the prompt to a PROMPT_BUCKET multiple (the
+    generate_tokens contract) — pad rows are causally invisible, the
+    first token reads logits at ``prompt_len - 1``, and the garbage cache
+    rows ``>= prompt_len`` stay masked by the engine's per-slot kv-valid
+    until decode overwrites them.  Keeps the graph keyed on the bucket
+    shape, not the exact token count.
 
     Greedy-default semantics only (the serving default: no repetition
     penalty / ngram ban / sampling — ``ContinuousEngine`` refuses other
     configs up front)."""
     b, t, _ = inputs_embeds.shape
+    if prompt_len is None:
+        prompt_len = jnp.int32(t)
     s = -(-t // 16) * 16  # 16-align like _generate_tokens
     cache = decoder.init_cache(b, s, dtype=decoder.dtype)
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
     logits, cache = decoder.apply(
         variables, inputs_embeds, positions,
         padding_mask=jnp.ones((b, t), jnp.int32),
-        cache=cache, cache_index=0, last_logit_only=True,
+        cache=cache, cache_index=0, last_logit_index=prompt_len - 1,
     )
-    tok0 = jnp.argmax(logits[:, -1].astype(jnp.float32), axis=-1).astype(
+    tok0 = jnp.argmax(logits[:, 0].astype(jnp.float32), axis=-1).astype(
         jnp.int32
     )
     return tok0, cache

@@ -276,6 +276,22 @@ class ASRPipeline:
         ALL at boot (a cold batch shape at request time stalls every
         coalesced request behind a minutes-long compile).
         """
+        cap = self.BATCH_BUCKETS[-1]
+        if len(audios) > cap:
+            # Split oversized batches into warmed bucket-sized sub-batches
+            # instead of inventing a rounded-up shape handler.warmup never
+            # compiled (a compile-at-request-time trap for direct callers
+            # and oversized batchers).  Split BEFORE extraction so clips
+            # are decoded once, not once per pass.
+            out: list[str] = []
+            for i in range(0, len(audios), cap):
+                out.extend(
+                    self.transcribe_batch(
+                        audios[i:i + cap], user_prompt=user_prompt,
+                        **generate_kwargs,
+                    )
+                )
+            return out
         arrays = []
         limit = int(self.MAX_CHUNK_SECONDS * 16000)
         for inputs in audios:
@@ -287,21 +303,6 @@ class ASRPipeline:
                 )
             arrays.append(audio["array"])
         n_real = len(arrays)
-        cap = self.BATCH_BUCKETS[-1]
-        if n_real > cap:
-            # Split oversized batches into warmed bucket-sized sub-batches
-            # instead of inventing a rounded-up shape handler.warmup never
-            # compiled (a compile-at-request-time trap for direct callers
-            # and oversized batchers).
-            out: list[str] = []
-            for i in range(0, n_real, cap):
-                out.extend(
-                    self.transcribe_batch(
-                        audios[i:i + cap], user_prompt=user_prompt,
-                        **generate_kwargs,
-                    )
-                )
-            return out
         bucket = next(b for b in self.BATCH_BUCKETS if b >= n_real)
         longest = max(len(a) for a in arrays)
         arrays = arrays + [

@@ -150,13 +150,12 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
     handler = EndpointHandler(model_path, tp=tp, dp=dp)
     if handler.mesh is not None:
         print(f"[serve] towers sharded over mesh {dict(zip(handler.mesh.axis_names, handler.mesh.devices.shape))}")
-    if warmup:
-        print("[serve] warming up (compiling; first boot is slow, the "
-              "persistent compile cache makes restarts fast)...")
-        total = handler.warmup(batched=engine == "dynamic")
-        print(f"[serve] warmup done in {total:.1f}s")
     batcher = None
     if engine == "continuous":
+        # Construct (= validate the generation config) BEFORE warmup so a
+        # fallback to dynamic still gets batched warmup — deciding the
+        # warmup flavor first compiled zero batch-bucket graphs on the
+        # fallback path, leaving every coalesced batch shape cold.
         from tiny_audio_tpu.continuous import ContinuousEngine
 
         try:
@@ -167,10 +166,15 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
             print(f"[serve] continuous engine unavailable ({e}); "
                   "falling back to dynamic batching")
             engine = "dynamic"
-        else:
-            if warmup:
-                batcher.warmup()
-            batcher.start()
+    if warmup:
+        print("[serve] warming up (compiling; first boot is slow, the "
+              "persistent compile cache makes restarts fast)...")
+        total = handler.warmup(batched=engine == "dynamic")
+        print(f"[serve] warmup done in {total:.1f}s")
+    if engine == "continuous":
+        if warmup:
+            batcher.warmup()
+        batcher.start()
     if engine == "dynamic":
         from tiny_audio_tpu.batching import DynamicBatcher
 

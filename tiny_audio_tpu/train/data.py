@@ -105,8 +105,13 @@ class LazyRows:
     """
 
     #: HF metadata columns that carry the clip length without an audio
-    #: decode, in preference order (seconds vs samples disambiguated below)
-    _DURATION_COLUMNS = ("duration", "duration_s", "num_samples", "length")
+    #: decode, in preference order; the NAME decides the unit (seconds vs
+    #: samples).  An ambiguous "length" column is deliberately excluded:
+    #: the common group_by_length convention stores token/char counts
+    #: there, and a magnitude guess misreads both long durations (150 s
+    #: clips) and token counts — silently wrecking the length buckets.
+    _DURATION_COLUMNS = {"duration": "s", "duration_s": "s",
+                         "num_samples": "samples"}
 
     def __init__(self, items: list, len_cache: Optional[dict] = None):
         self._items = items
@@ -145,9 +150,9 @@ class LazyRows:
             value = float(view[0][int(idx)][view[1]])
         except Exception:
             return None
-        # duration columns are seconds; num_samples/length are samples —
-        # disambiguate by magnitude (no real clip is < 100 samples long)
-        return int(value * SAMPLE_RATE) if value < 100.0 else int(value)
+        if self._DURATION_COLUMNS[view[1]] == "s":
+            return int(value * SAMPLE_RATE)
+        return int(value)
 
     def audio_len(self, i: int) -> int:
         """Sample length in samples, memoized as an int — group_by_length's
