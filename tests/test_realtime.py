@@ -93,6 +93,37 @@ class TestTurnEndpointer:
             finals += [e for e in ep.feed(chunk) if e[0] == "final"]
         assert len(finals) == 2
 
+    def test_final_carries_session_absolute_start(self):
+        """ev[2] is the turn clip's first-sample offset in the SESSION
+        stream (survives idle trims), feeding the ms word timestamps."""
+        ep = TurnEndpointer(amp_vad, CFG)
+        events = ep.feed(np.concatenate([silence(0.5), tone(1.0)]))
+        events += ep.feed(silence(1.0))
+        finals = [e for e in events if e[0] == "final"]
+        assert len(finals) == 1
+        start = finals[0][2]
+        onset = int(0.5 * SAMPLE_RATE)
+        pre_roll = CFG.pre_roll_frames * HOP
+        # start = onset - pre_roll, within a frame of VAD grid slack
+        assert abs(start - (onset - pre_roll)) <= 2 * HOP
+        # a second turn later in the stream starts after the first ends
+        events = ep.feed(np.concatenate([silence(3.0), tone(0.6)]))
+        events += ep.feed(silence(1.0))
+        finals2 = [e for e in events if e[0] == "final"]
+        assert len(finals2) == 1
+        assert finals2[0][2] > start + finals[0][1].size
+
+    def test_flush_and_force_endpoint_carry_start(self):
+        ep = TurnEndpointer(amp_vad, CFG)
+        ep.feed(np.concatenate([silence(0.3), tone(0.5)]))
+        (kind, audio, start) = ep.force_endpoint()[0]
+        assert kind == "final" and start + audio.size == ep._fed
+
+        ep.feed(np.concatenate([silence(2.0), tone(0.5)]))
+        finals = [e for e in ep.flush() if e[0] == "final"]
+        (kind, audio, start) = finals[0]
+        assert start + audio.size == ep._fed
+
     def test_feed_throttles_on_update_samples(self):
         cfg = EndpointerConfig(update_samples=8 * HOP)
         ep = TurnEndpointer(amp_vad, cfg)
@@ -497,6 +528,59 @@ class TestRealtimeSession:
             finals = [m for m in results[key]
                       if m["type"] == "Turn" and m["end_of_turn"]]
             assert len(finals) == 1
+
+
+class TestWordTimestamps:
+    def test_timestamps_query_adds_words(self, rt_server):
+        """?timestamps=true finals carry AAI-format words: text/start/end
+        in session-absolute ms, monotonic, inside the turn's extent.  The
+        weightless test aligner uniform-spreads words (tagged fallback) —
+        this pins the protocol plumbing, not alignment quality."""
+        from websockets.sync.client import connect
+
+        msgs = []
+        with connect(
+            f"ws://127.0.0.1:{rt_server.port}/ws"
+            "?sample_rate=16000&timestamps=true",
+            ping_interval=None,
+        ) as ws:
+            for chunk in (silence(0.5), tone(1.2), silence(1.0)):
+                pcm = (np.clip(chunk, -1, 1) * 32767).astype("<i2").tobytes()
+                ws.send(pcm)
+            ws.send(json.dumps({"type": "Terminate"}))
+            while True:
+                msgs.append(json.loads(ws.recv(timeout=120)))
+                if msgs[-1]["type"] == "Termination":
+                    break
+        finals = [m for m in msgs
+                  if m["type"] == "Turn" and m["end_of_turn"]]
+        assert len(finals) == 1
+        final = finals[0]
+        if not final["transcript"]:
+            pytest.skip("tiny model produced empty transcript")
+        words = final["words"]
+        assert words, "timestamps=true final must carry words"
+        n_words = len(final["transcript"].split())
+        assert len(words) == n_words
+        # session-absolute ms: the turn starts near the 0.5 s onset minus
+        # pre-roll, so no word may start before ~0.2 s or end after the
+        # 2.7 s session
+        for w in words:
+            assert isinstance(w["text"], str)
+            assert isinstance(w["start"], int) and isinstance(w["end"], int)
+            assert 200 <= w["start"] < w["end"] <= 2700
+        starts = [w["start"] for w in words]
+        assert starts == sorted(starts)
+        # partials never carry words (alignment is final-only work)
+        partials = [m for m in msgs
+                    if m["type"] == "Turn" and not m["end_of_turn"]]
+        assert all("words" not in p for p in partials)
+
+    def test_no_timestamps_by_default(self, rt_server):
+        msgs = _session(rt_server, [tone(0.8), silence(1.0)])
+        finals = [m for m in msgs
+                  if m["type"] == "Turn" and m["end_of_turn"]]
+        assert finals and all("words" not in f for f in finals)
 
 
 class TestBatchedTurnDecodes:

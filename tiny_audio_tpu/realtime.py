@@ -19,6 +19,12 @@ already speaks (eval/evaluators/asr.py:160-225):
                "end_of_turn": bool, "turn_is_formatted": true}
     server -> {"type": "Termination", "audio_duration_seconds": ...}
 
+Connect-URL options: ``?sample_rate=<hz>`` (input resampled to 16 k),
+``?speakers=true`` (finals carry a ``speaker`` label, live leader
+clustering over turn ECAPA embeddings), ``?timestamps=true`` (finals
+carry AAI-format ``words`` — text/start/end in session-absolute ms via
+the ForcedAligner).
+
 so ``AssemblyAIStreamingEvaluator(base_url="ws://host:port/ws")`` evaluates
 THIS server with zero changes — the eval harness and the serving stack meet
 in the middle.
@@ -71,8 +77,11 @@ class TurnEndpointer:
 
     :meth:`feed` returns a list of events::
 
-        ("start",)            a turn opened
-        ("final", audio)      a turn closed; ``audio`` is the float32 turn clip
+        ("start",)                  a turn opened
+        ("final", audio, start)     a turn closed; ``audio`` is the float32
+                                    turn clip, ``start`` its first sample's
+                                    session-absolute offset (for the wire
+                                    protocol's ms word timestamps)
 
     Partial-transcript cadence is the caller's business (it depends on TPU
     lock availability); the endpointer only segments.
@@ -94,6 +103,7 @@ class TurnEndpointer:
         self.buf = np.zeros(0, np.float32)
         self.turn_open = False
         self._since_scan = 0
+        self._fed = 0  # total samples ever fed: buf starts at _fed - len(buf)
 
     # Samples of the current (open) turn so far — what a partial transcribes.
     @property
@@ -102,6 +112,7 @@ class TurnEndpointer:
 
     def feed(self, samples: np.ndarray) -> list[tuple]:
         samples = np.asarray(samples, np.float32).reshape(-1)
+        self._fed += samples.size
         self.buf = np.concatenate([self.buf, samples]) if self.buf.size else samples
         if self.vad_stream is not None and samples.size:
             new = self.vad_stream.feed(samples)
@@ -122,7 +133,7 @@ class TurnEndpointer:
                 self._dec = np.concatenate([self._dec, new])
         events = self._scan() if self.buf.size >= HOP else []
         if self.turn_open:
-            events.append(("final", self.buf))
+            events.append(("final", self.buf, self._buf_start()))
             self._clear()
         return events
 
@@ -130,11 +141,15 @@ class TurnEndpointer:
         """Client-requested turn close (AAI ``ForceEndpoint``)."""
         if not self.turn_open:
             return []
-        audio = self.buf
+        audio, start = self.buf, self._buf_start()
         self._clear()
-        return [("final", audio)]
+        return [("final", audio, start)]
 
     # ------------------------------------------------------------- internals
+
+    def _buf_start(self) -> int:
+        """Session-absolute sample offset of ``buf[0]``."""
+        return self._fed - self.buf.size
 
     def _clear(self) -> None:
         """Drop all buffered state (turn closed on the full buffer)."""
@@ -183,17 +198,18 @@ class TurnEndpointer:
         speech_idx = np.flatnonzero(decisions)
         last_speech = int(speech_idx[-1]) if speech_idx.size else -1
         trailing = decisions.size - 1 - last_speech
+        start = self._buf_start()
         if trailing >= cfg.end_silence_frames:
             cut_frames = last_speech + 1 + cfg.hangover_frames
             if cut_frames * HOP >= self.buf.size:
-                events.append(("final", self.buf))
+                events.append(("final", self.buf, start))
                 self._clear()
             else:
-                events.append(("final", self.buf[:cut_frames * HOP]))
+                events.append(("final", self.buf[:cut_frames * HOP], start))
                 self._trim(cut_frames)
                 self.turn_open = False
         elif self.buf.size >= int(cfg.max_turn_s * SAMPLE_RATE):
-            events.append(("final", self.buf))
+            events.append(("final", self.buf, start))
             self._clear()
         return events
 
@@ -363,13 +379,16 @@ class RealtimeServer:
 
         sample_rate = 16000
         tracker = None
-        try:  # ?sample_rate=...&speakers=true on the connect URL
+        timestamps = False
+        try:  # ?sample_rate=...&speakers=true&timestamps=true on the URL
             from urllib.parse import parse_qs, urlparse
 
             q = parse_qs(urlparse(ws.request.path).query)
             sample_rate = int(q.get("sample_rate", ["16000"])[0])
             if q.get("speakers", ["false"])[0].lower() in ("true", "1"):
                 tracker = OnlineSpeakerTracker()
+            if q.get("timestamps", ["false"])[0].lower() in ("true", "1"):
+                timestamps = True
         except Exception:
             pass
 
@@ -391,7 +410,7 @@ class RealtimeServer:
                     audio = self._decode_pcm(msg, sample_rate)
                     total_samples += audio.size
                     turn_order = self._dispatch(
-                        ws, ep.feed(audio), turn_order, tracker
+                        ws, ep.feed(audio), turn_order, tracker, timestamps
                     )
                     if (
                         ep.turn_open
@@ -413,11 +432,12 @@ class RealtimeServer:
                     continue
                 if cmd.get("type") == "ForceEndpoint":
                     turn_order = self._dispatch(
-                        ws, ep.force_endpoint(), turn_order, tracker
+                        ws, ep.force_endpoint(), turn_order, tracker,
+                        timestamps,
                     )
                 elif cmd.get("type") == "Terminate":
                     turn_order = self._dispatch(
-                        ws, ep.flush(), turn_order, tracker
+                        ws, ep.flush(), turn_order, tracker, timestamps
                     )
                     ws.send(json.dumps({
                         "type": "Termination",
@@ -434,11 +454,13 @@ class RealtimeServer:
                 ep.buf = np.zeros(0, np.float32)
 
     def _dispatch(self, ws, events: list[tuple], turn_order: int,
-                  tracker: Optional[OnlineSpeakerTracker] = None) -> int:
+                  tracker: Optional[OnlineSpeakerTracker] = None,
+                  timestamps: bool = False) -> int:
         for ev in events:
             if ev[0] != "final":
                 continue
             audio = ev[1]
+            turn_start = ev[2] if len(ev) > 2 else 0
             # sub-150 ms turns are VAD flicker; report them empty rather
             # than spending a decode on noise
             text = ""
@@ -449,6 +471,8 @@ class RealtimeServer:
                 "transcript": text, "end_of_turn": True,
                 "turn_is_formatted": True,
             }
+            if timestamps and text:
+                payload["words"] = self._align_words(audio, text, turn_start)
             if tracker is not None and audio.size >= SAMPLE_RATE // 2:
                 try:
                     with self.lock:  # ECAPA forward is TPU work
@@ -462,6 +486,33 @@ class RealtimeServer:
             ws.send(json.dumps(payload))
             turn_order += 1
         return turn_order
+
+    def _align_words(self, audio: np.ndarray, text: str,
+                     turn_start: int) -> list[dict]:
+        """AAI-v3-format word timestamps for a finalized turn: ``text`` /
+        ``start`` / ``end`` in session-absolute milliseconds (the shape
+        ``eval.evaluators.alignment.assemblyai_words`` parses).  Alignment
+        is TPU work (jitted wav2vec2 forward) — runs under the lock."""
+        from tiny_audio_tpu.alignment import ForcedAligner
+
+        try:
+            with self.lock:
+                words = ForcedAligner.align(audio, text)
+        except Exception:
+            return []  # timestamps are best-effort; the turn still ships
+        base_ms = turn_start * 1000.0 / SAMPLE_RATE
+        out = []
+        for w in words:
+            entry = {
+                "text": w["word"],
+                "start": int(round(base_ms + w["start"] * 1000.0)),
+                "end": int(round(base_ms + w["end"] * 1000.0)),
+                "word_is_final": True,
+            }
+            if w.get("fallback"):  # weightless aligner: uniform spread
+                entry["fallback"] = True
+            out.append(entry)
+        return out
 
     def _transcribe(self, audio: np.ndarray,
                     blocking: bool) -> Optional[str]:
