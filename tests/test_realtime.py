@@ -645,3 +645,32 @@ class TestBatchedTurnDecodes:
     def test_lock_defaults_to_batcher_lock(self, batched_server):
         server, batcher = batched_server
         assert server.lock is batcher.lock
+
+    def test_continuous_engine_as_batcher(self):
+        """The slot-based engine duck-types submit()/pending()/lock, so
+        realtime turn decodes can join its decode loop mid-flight too
+        (serve --engine continuous --realtime-port)."""
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.continuous import ContinuousEngine
+        from tiny_audio_tpu.models.asr import ASRModel
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        pipe = ASRPipeline(
+            ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        )
+        eng = ContinuousEngine(pipe, n_slots=2, chunk_steps=3)
+        server = RealtimeServer(
+            pipe, host="127.0.0.1", port=0,
+            partial_every_s=0.0, vad_fn=amp_vad, batcher=eng,
+            endpointer_config=EndpointerConfig(update_samples=1),
+        ).start()
+        try:
+            assert server.lock is eng.lock
+            msgs = _session(server, [tone(0.8), silence(1.0)])
+            finals = [m for m in msgs
+                      if m["type"] == "Turn" and m["end_of_turn"]]
+            assert len(finals) == 1
+            assert isinstance(finals[0]["transcript"], str)
+        finally:
+            server.shutdown()
+            eng.close()

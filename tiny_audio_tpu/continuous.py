@@ -185,6 +185,12 @@ class ContinuousEngine:
         self._q.put({"audio": arr, "prompt": user_prompt, "future": fut})
         return fut
 
+    def pending(self) -> int:
+        """Requests waiting for a slot (approximate) — the realtime server
+        probes this to emit partials only on an idle queue (same duck-type
+        as :meth:`DynamicBatcher.pending`)."""
+        return self._q.qsize()
+
     def close(self) -> None:
         self._stop = True
         self._q.put(None)

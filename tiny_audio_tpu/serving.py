@@ -192,17 +192,16 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
     if realtime_port is not None:
         from tiny_audio_tpu.realtime import RealtimeServer
 
-        from tiny_audio_tpu.batching import DynamicBatcher
-
-        rt_batcher = batcher if isinstance(batcher, DynamicBatcher) else None
+        # Both engines duck-type submit()/pending()/lock, so realtime turn
+        # decodes coalesce with HTTP traffic under either batching mode.
         rt = RealtimeServer(
             handler.pipe, host=host, port=realtime_port, lock=lock,
-            batcher=rt_batcher,  # turn decodes coalesce with HTTP traffic
+            batcher=batcher,
         ).start()
         print(f"[serve] realtime websocket on ws://{host}:{rt.port} "
               "(PCM16 in, Turn events out; "
               + ("turn decodes batch with HTTP traffic)"
-                 if rt_batcher is not None else "shares the TPU lock)"))
+                 if batcher is not None else "shares the TPU lock)"))
     server = make_server(handler, host, port, batcher=batcher, lock=lock)
     mode = {"dynamic": f" (dynamic batching <= {max_batch})",
             "continuous": f" (continuous batching, {max_batch} slots)",
