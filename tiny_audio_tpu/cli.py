@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     srv.add_argument("--realtime-port", type=int, default=None,
                      help="also serve realtime websocket transcription on "
                           "this port (shares the chip with HTTP traffic)")
+    srv.add_argument("--wq-decode", action="store_true",
+                     help="weight-only int8 decode: halves decode's HBM "
+                          "weight traffic (small quantization quality "
+                          "trade; prefill stays bf16)")
     srv.set_defaults(func=_cmd_serve)
 
     rt = sub.add_parser(
@@ -144,7 +148,7 @@ def _cmd_serve(args) -> int:
           dynamic_batching=not args.no_batching,
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
           engine=args.engine, tp=args.tp, dp=args.dp,
-          realtime_port=args.realtime_port)
+          realtime_port=args.realtime_port, wq_decode=args.wq_decode)
     return 0
 
 

@@ -308,7 +308,7 @@ class ContinuousEngine:
                 input_ids,
             )
             tok0, pcache = prefill_prompt_cache(
-                model.decoder, {"params": model.params["decoder"]}, embeds,
+                model.decoder, model.decoder_variables(), embeds,
                 jnp.int32(t_real),
             )
             tok0 = np.asarray(tok0)
@@ -345,7 +345,7 @@ class ContinuousEngine:
         with self.lock:
             self._state, toks = decode_chunk(
                 self.model.decoder,
-                {"params": self.model.params["decoder"]},
+                self.model.decoder_variables(),
                 self._state,
                 self.gen,
                 self.chunk_steps,

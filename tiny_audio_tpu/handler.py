@@ -18,11 +18,15 @@ import numpy as np
 
 class EndpointHandler:
     def __init__(self, path: str = "", pipeline=None, tp: int = 1,
-                 dp: Optional[int] = None):
+                 dp: Optional[int] = None, wq_decode: bool = False):
         """``tp``/``dp``: shard the towers over a (dp, tp) device mesh for
         multi-chip serving (GSPMD over ICI — parallel/mesh.py rules; the
         tp-sharded generate is token-exact vs single-device,
-        tests/test_sharded_inference.py).  Defaults stay single-device."""
+        tests/test_sharded_inference.py).  Defaults stay single-device.
+
+        ``wq_decode``: weight-only int8 decode (ASRModel.enable_wq_decode)
+        — halves decode's per-step HBM weight traffic at a small
+        quantization quality trade; also enabled by ``TA_WQ_DECODE=1``."""
         from tiny_audio_tpu.utils.compile_cache import (
             enable_persistent_compile_cache,
         )
@@ -35,6 +39,10 @@ class EndpointHandler:
             from tiny_audio_tpu.pipeline import ASRPipeline
 
             self.pipe = ASRPipeline(ASRModel.from_pretrained(path))
+        import os
+
+        if wq_decode or os.environ.get("TA_WQ_DECODE") == "1":
+            self.pipe.model.enable_wq_decode()
         self.mesh = None
         if tp > 1 or (dp or 1) > 1:
             import jax

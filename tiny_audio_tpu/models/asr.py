@@ -190,6 +190,30 @@ class ASRModel:
         self.gen_config = GenerationConfig.from_asr_config(
             config, self.tokenizer.eos_token_ids, self.tokenizer.pad_token_id
         )
+        self.wq: Optional[dict] = None  # int8 decode weights (opt-in)
+
+    def enable_wq_decode(self) -> None:
+        """Opt-in weight-only int8 decode: quantize the decoder's matmul
+        weights into a ``wq`` variables collection read ONLY by T==1
+        decode steps (prefill/training stay bf16).  Serving bandwidth
+        machinery — decode is weight-read-bound — with a measured
+        quality trade (per-channel int8, ops/wq_matmul.py); incompatible
+        with the (also opt-in) fused Pallas decode loop, which reads the
+        bf16 params directly."""
+        from tiny_audio_tpu.models.decoder import quantize_decoder_wq
+
+        self.wq = jax.tree.map(
+            jnp.asarray,
+            quantize_decoder_wq(self.params["decoder"], self.decoder.cfg),
+        )
+
+    def decoder_variables(self, params: Optional[dict] = None) -> dict:
+        """Decoder ``apply`` variables: params + the wq collection when
+        weight-quantized decode is enabled."""
+        v = {"params": (params if params is not None else self.params)["decoder"]}
+        if self.wq is not None:
+            v["wq"] = self.wq
+        return v
 
     # ------------------------------------------------------------------ init
 
@@ -378,6 +402,7 @@ class ASRModel:
         gen: GenerationConfig,
         fused_decode: bool = False,
         prompt_len=None,
+        wq=None,
     ):
         audio_embeds, _ = self._encode_audio(
             params, input_features, audio_attention_mask, train=False
@@ -388,12 +413,16 @@ class ASRModel:
         audio_mask = (input_ids == self.tokenizer.audio_token_id) & prompt_mask.astype(bool)
         inputs_embeds = splice_audio(text_embeds, audio_mask, audio_embeds)
         if gen.num_beams > 1:
+            # beams keep full precision (exact path; wq is greedy-serving)
             return generate_beams(
                 self.decoder, {"params": params["decoder"]}, inputs_embeds,
                 gen, input_ids=input_ids,
             )
+        dec_vars = {"params": params["decoder"]}
+        if wq is not None:
+            dec_vars["wq"] = wq
         return generate_tokens(
-            self.decoder, {"params": params["decoder"]},
+            self.decoder, dec_vars,
             inputs_embeds, input_ids, gen, fused_decode=fused_decode,
             prompt_len=prompt_len,
         )
@@ -458,8 +487,12 @@ class ASRModel:
         tokens, _ = self._generate_jit(
             self.params, input_features, audio_attention_mask,
             input_ids, prompt_mask, gen,
-            fused_decode=_fused_decode_available(self.decoder),
+            # wq reads params through its own kernel; the fused decode loop
+            # reads the bf16 params directly — mutually exclusive opt-ins
+            fused_decode=(self.wq is None
+                          and _fused_decode_available(self.decoder)),
             prompt_len=jnp.int32(t_real),
+            wq=self.wq,
         )
         return np.asarray(tokens)
 
@@ -534,7 +567,7 @@ class ASRModel:
         def decoded_chunks():
             pending: list[int] = []
             for tok in stream_generate(
-                self.decoder, {"params": self.params["decoder"]},
+                self.decoder, self.decoder_variables(),
                 inputs_embeds, input_ids, self.gen_config,
                 prompt_len=t_real,
             ):

@@ -78,11 +78,27 @@ class Qwen3Block(nn.Module):
             target.  LoRA A/B live NEXT TO the base kernel (paths
             ``{name}_lora_a``/``_b``) so base param paths — and therefore
             the HF weight converter and the mesh sharding rules — are
-            unchanged whether LoRA is on or off."""
-            y = nn.Dense(
-                feats, use_bias=False, dtype=self.dtype,
-                param_dtype=self.param_dtype, name=name,
-            )(h)
+            unchanged whether LoRA is on or off.
+
+            Decode steps (T==1) with a ``wq`` variables collection read
+            int8 weights through the in-VMEM-dequant Pallas kernel instead
+            (ops/wq_matmul.py): decode is weight-read-bound, so halving
+            the weight bytes halves its HBM floor.  Prefill and training
+            always use the bf16 kernels — they are compute-bound and the
+            quantization would only cost accuracy there."""
+            if t == 1 and self.has_variable("wq", f"{name}_i8"):
+                from tiny_audio_tpu.ops.wq_matmul import wq_matmul_auto
+
+                y = wq_matmul_auto(
+                    h[:, 0].astype(jnp.bfloat16),
+                    self.get_variable("wq", f"{name}_i8"),
+                    self.get_variable("wq", f"{name}_scale"),
+                )[:, None].astype(self.dtype)
+            else:
+                y = nn.Dense(
+                    feats, use_bias=False, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=name,
+                )(h)
             if cfg.lora_rank > 0 and name in cfg.lora_targets:
                 a = self.param(
                     f"{name}_lora_a", nn.initializers.normal(0.02),
@@ -177,7 +193,7 @@ class Qwen3Decoder(nn.Module):
             )
         block = nn.scan(
             block_cls,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "wq": 0},  # wq: stacked int8 weights
             split_rngs={"params": True},
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
                      nn.broadcast),
@@ -249,6 +265,19 @@ class Qwen3Decoder(nn.Module):
             x = x[:, -1:]
         if return_hidden:
             logits = None
+        elif x.shape[1] == 1 and self.has_variable("wq", "head_i8"):
+            # wq decode: the LM head is the single largest weight read per
+            # step (~311 MB bf16 at the 151k vocab); single-position logits
+            # (decode steps AND bucketed-prefill first tokens) go through
+            # the int8 kernel so the whole greedy path is consistently
+            # quantized.
+            from tiny_audio_tpu.ops.wq_matmul import wq_matmul_auto
+
+            logits = wq_matmul_auto(
+                x[:, 0].astype(jnp.bfloat16),
+                self.get_variable("wq", "head_i8"),
+                self.get_variable("wq", "head_scale"),
+            )[:, None]
         elif cfg.tie_word_embeddings:
             logits = self.embed_tokens.attend(x)
         else:
@@ -305,6 +334,33 @@ class Qwen3Decoder(nn.Module):
                 "v_scale": jnp.zeros(shape[:-1], jnp.float32),
             }
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def quantize_decoder_wq(params: dict, cfg: DecoderConfig) -> dict:
+    """Build the ``wq`` variables collection from decoder params: per-layer
+    stacked int8 kernels + per-output-channel scales for every block
+    projection, plus the LM head (the embedding transpose when tied).
+
+    The bf16 params stay untouched — prefill/training keep full precision;
+    only T==1 decode reads this collection (Qwen3Block.dense).  Memory:
+    ~half the decoder weights again (int8 + f32 scales) — the trade for
+    halving decode's per-step HBM traffic.
+    """
+    from tiny_audio_tpu.ops.wq_matmul import quantize_weight
+
+    layers = params["layers"]
+    wq_layers = {}
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj",
+                 "gate_proj", "up_proj", "down_proj"):
+        kern = layers[name]["kernel"]  # [L, K, N]
+        i8, scale = jax.vmap(quantize_weight)(kern)
+        wq_layers[f"{name}_i8"] = i8
+        wq_layers[f"{name}_scale"] = scale
+    head = (params["embed_tokens"]["embedding"].T
+            if cfg.tie_word_embeddings else params["lm_head"]["kernel"])
+    head_i8, head_scale = quantize_weight(head)
+    return {"layers": wq_layers,
+            "head_i8": head_i8, "head_scale": head_scale}
 
 
 # ---------------------------------------------------------------------------

@@ -126,7 +126,8 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
           max_batch: int = 16, max_wait_ms: float = 20.0,
           engine: str = "dynamic", tp: int = 1,
           dp: Optional[int] = None,
-          realtime_port: Optional[int] = None) -> None:
+          realtime_port: Optional[int] = None,
+          wq_decode: bool = False) -> None:
     """``engine``: short-clip batching strategy.
 
     - ``"dynamic"`` — :class:`~tiny_audio_tpu.batching.DynamicBatcher`:
@@ -147,7 +148,9 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
 
     if not dynamic_batching:  # legacy flag: --no-batching
         engine = "none"
-    handler = EndpointHandler(model_path, tp=tp, dp=dp)
+    handler = EndpointHandler(model_path, tp=tp, dp=dp, wq_decode=wq_decode)
+    if handler.pipe.model.wq is not None:
+        print("[serve] weight-only int8 decode enabled (wq)")
     if handler.mesh is not None:
         print(f"[serve] towers sharded over mesh {dict(zip(handler.mesh.axis_names, handler.mesh.devices.shape))}")
     batcher = None
