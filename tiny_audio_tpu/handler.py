@@ -42,7 +42,14 @@ class EndpointHandler:
         import os
 
         if wq_decode or os.environ.get("TA_WQ_DECODE") == "1":
-            self.pipe.model.enable_wq_decode()
+            if tp > 1 or (dp or 1) > 1:
+                # the wq collection is host-built and unsharded; under a
+                # mesh the Pallas call would force all-gathers of the tp-
+                # sharded activations — sharded serving keeps bf16 decode
+                print("[handler] --wq-decode ignored under --tp/--dp "
+                      "(wq weights are unsharded; mesh serving stays bf16)")
+            else:
+                self.pipe.model.enable_wq_decode()
         self.mesh = None
         if tp > 1 or (dp or 1) > 1:
             import jax
