@@ -150,6 +150,44 @@ def test_save_load_roundtrip(model, rng, tmp_path_factory):
     np.testing.assert_array_equal(t1, t2)
 
 
+def test_from_pretrained_attaches_aux_towers(model, tmp_path_factory):
+    """A checkpoint carrying convert_checkpoint's aux-tower artifacts must
+    attach them in a FRESH process: conversion attaches in-process only,
+    so without this hook serving fell back to uniform-spread timestamps
+    and the synthetic speaker-embedder tier silently."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from tiny_audio_tpu.diarization import EcapaEmbedder
+    from tiny_audio_tpu.models.ecapa import EcapaTDNN
+
+    tmp = tmp_path_factory.mktemp("ckpt_aux")
+    model.save_pretrained(tmp)
+    # a converted-speechbrain-shaped embedder artifact (tiny geometry —
+    # from_converted infers channels/embed/attention from the shapes)
+    module = EcapaTDNN(channels=(32, 32, 32, 32, 96), embed_dim=24,
+                       attention_channels=16)
+    params = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 75, 80), jnp.float32)
+    )["params"]
+    (tmp / "ecapa_embedder.msgpack").write_bytes(
+        serialization.to_bytes(params)
+    )
+    # a corrupt aligner artifact: must warn and keep serving, not raise
+    (tmp / "wav2vec2_aligner.msgpack").write_bytes(b"not msgpack")
+
+    saved = EcapaEmbedder._instance
+    EcapaEmbedder._instance = None
+    try:
+        ASRModel.from_pretrained(tmp)
+        inst = EcapaEmbedder._instance
+        assert inst is not None and inst.tier == "speechbrain"
+        assert inst.embed_dim == 24
+    finally:
+        EcapaEmbedder._instance = saved
+
+
 def test_generate_streaming_matches_generate(model, rng):
     audio = (rng.standard_normal(8000) * 0.1).astype(np.float32)
     proc = ASRProcessor(

@@ -41,8 +41,15 @@ class TestWqCollection:
             assert i8.dtype == jnp.int8 and s.dtype == jnp.float32
             assert i8.shape[0] == cfg.num_layers
             assert i8.shape[2] == s.shape[1]
-        assert wq["head_i8"].shape == (cfg.hidden_size, cfg.vocab_size)
-        assert wq["head_scale"].shape == (cfg.vocab_size,)
+        from tiny_audio_tpu.ops.wq_matmul import NT
+
+        v_pad = -(-cfg.vocab_size // NT) * NT  # head pre-padded to the tile
+        assert wq["head_i8"].shape == (cfg.hidden_size, v_pad)
+        assert wq["head_scale"].shape == (v_pad,)
+        # pad columns are exactly zero -> zero logits, sliced off anyway
+        assert np.all(
+            np.asarray(wq["head_i8"][:, cfg.vocab_size:]) == 0
+        )
 
     def test_dequant_matches_params(self, wq_pipe):
         """wq must be a faithful quantization of the CURRENT params."""

@@ -171,7 +171,14 @@ class ContinuousEngine:
         return total
 
     def submit(self, audio, user_prompt: Optional[str] = None) -> Future:
-        """Enqueue one short clip; the Future resolves to the transcript."""
+        """Enqueue one short clip; the Future resolves to the transcript.
+
+        Raises after :meth:`close` — same contract as
+        :meth:`DynamicBatcher.submit`: a put racing past the close-time
+        drain must not leave its Future unresolved (the realtime server
+        blocks in ``result(timeout=300)`` on it)."""
+        if self._stop:
+            raise RuntimeError("ContinuousEngine is closed")
         if self._q.qsize() >= self.max_queue:
             raise BacklogFull(f"request queue full ({self.max_queue} pending)")
         fut: Future = Future()
@@ -183,6 +190,8 @@ class ContinuousEngine:
                 " s; route long-form inputs through the pipeline"
             )
         self._q.put({"audio": arr, "prompt": user_prompt, "future": fut})
+        if self._stop:  # raced close(): its drain may have missed this put
+            self._drain_pending()
         return fut
 
     def pending(self) -> int:
@@ -201,6 +210,11 @@ class ContinuousEngine:
                 slot["future"].set_exception(
                     RuntimeError("ContinuousEngine closed mid-decode")
                 )
+        self._drain_pending()
+
+    def _drain_pending(self) -> None:
+        """Fail still-queued requests; called from close() and from a
+        submit() that raced past it."""
         while True:
             try:
                 item = self._q.get_nowait()

@@ -276,6 +276,31 @@ class EcapaEmbedder:
             self.params = serialization.from_bytes(self.params, f.read())
         self.tier = "speechbrain"
 
+    @classmethod
+    def from_converted(cls, path) -> "EcapaEmbedder":
+        """Load a ``convert_checkpoint``-written ``ecapa_embedder.msgpack``
+        in a FRESH process (conversion attaches in-process; serving must
+        re-load from the artifact).  Geometry is inferred from the stored
+        shapes so both the 512- and 1024-channel releases load."""
+        from pathlib import Path
+
+        import jax
+        import jax.numpy as jnp
+        from flax import serialization
+
+        from tiny_audio_tpu.models.ecapa import EcapaTDNN
+
+        raw = serialization.msgpack_restore(Path(path).read_bytes())
+        c0 = raw["blocks_0"]["conv"]["kernel"].shape[2]
+        c4 = raw["mfa"]["conv"]["kernel"].shape[2]
+        module = EcapaTDNN(
+            channels=(c0, c0, c0, c0, c4),
+            embed_dim=raw["fc"]["kernel"].shape[-1],
+            attention_channels=raw["asp_tdnn"]["conv"]["kernel"].shape[2],
+        )
+        params = jax.tree_util.tree_map(jnp.asarray, raw)
+        return cls(module=module, params=params, tier="speechbrain")
+
     def embed_windows(self, windows: np.ndarray) -> np.ndarray:
         """[N, samples] -> [N, embed_dim] L2-normalized embeddings.
 

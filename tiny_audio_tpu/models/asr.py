@@ -638,4 +638,38 @@ class ASRModel:
             model.params["projector"] = serialization.from_bytes(
                 model.params["projector"], (path / "projector.msgpack").read_bytes()
             )
+        cls._attach_aux_towers(path)
         return model
+
+    @staticmethod
+    def _attach_aux_towers(path: Path) -> None:
+        """Attach checkpoint-local aligner / speaker-embedder weights to
+        their process singletons.  ``convert_checkpoint`` writes
+        ``wav2vec2_aligner.msgpack`` / ``ecapa_embedder.msgpack`` into the
+        artifact and attaches in-process — but a FRESH serving process
+        (handler, realtime, eval) only runs ``from_pretrained``, so
+        without this hook timestamps silently fell back to uniform-spread
+        words and diarization to the synthetic embedder tier."""
+        aligner = path / "wav2vec2_aligner.msgpack"
+        if aligner.exists():
+            from tiny_audio_tpu.alignment import ForcedAligner
+
+            if not ForcedAligner.has_model():
+                try:
+                    ForcedAligner.load_weights(aligner)
+                except Exception as e:  # keep serving up on a bad aux file
+                    print(f"[asr] aligner weights unusable ({e}); "
+                          "word timestamps will use the uniform fallback")
+        ecapa = path / "ecapa_embedder.msgpack"
+        if ecapa.exists():
+            from tiny_audio_tpu.diarization import EcapaEmbedder
+
+            if (EcapaEmbedder._instance is None
+                    or EcapaEmbedder._instance.tier != "speechbrain"):
+                try:
+                    EcapaEmbedder._instance = EcapaEmbedder.from_converted(
+                        ecapa
+                    )
+                except Exception as e:
+                    print(f"[asr] ecapa weights unusable ({e}); "
+                          "diarization keeps the synthetic tier")

@@ -277,7 +277,7 @@ class Qwen3Decoder(nn.Module):
                 x[:, 0].astype(jnp.bfloat16),
                 self.get_variable("wq", "head_i8"),
                 self.get_variable("wq", "head_scale"),
-            )[:, None]
+            )[:, None, :cfg.vocab_size]  # head is pre-padded to the N tile
         elif cfg.tie_word_embeddings:
             logits = self.embed_tokens.attend(x)
         else:
@@ -359,6 +359,18 @@ def quantize_decoder_wq(params: dict, cfg: DecoderConfig) -> dict:
     head = (params["embed_tokens"]["embedding"].T
             if cfg.tie_word_embeddings else params["lm_head"]["kernel"])
     head_i8, head_scale = quantize_weight(head)
+    # Pre-pad the ragged vocab dim to the kernel's N tile HERE: otherwise
+    # wq_matmul's in-graph jnp.pad keeps a second full copy of the ~152 MB
+    # int8 head resident (or worse, re-pads per decode step), eroding the
+    # bandwidth win.  The head consumer slices logits back to vocab_size;
+    # pad scales are zero so pad columns carry exactly-zero logits.
+    from tiny_audio_tpu.ops.wq_matmul import NT
+
+    v = head_i8.shape[1]
+    v_pad = -(-v // NT) * NT
+    if v_pad != v:
+        head_i8 = jnp.pad(head_i8, ((0, 0), (0, v_pad - v)))
+        head_scale = jnp.pad(head_scale, (0, v_pad - v))
     return {"layers": wq_layers,
             "head_i8": head_i8, "head_scale": head_scale}
 
