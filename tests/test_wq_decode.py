@@ -117,6 +117,45 @@ class TestWqDecodePaths:
             prefix += 1
         assert prefix >= min(8, len(want)), (got, want)
 
+    def test_wq_decode_step_applies_lora_delta(self):
+        """LoRA serving + wq, isolated to ONE T==1 decode step: dense()
+        adds the f32 LoRA delta after either branch, so bumping lora_b
+        must change the decode-step logits even though the base matmul
+        went through the wq kernel."""
+        import jax
+
+        cfg = tiny_test_config(use_lora=True, lora_rank=4, lora_alpha=8,
+                               model_dtype="float32")
+        model = ASRModel(cfg, seed=0)
+        model.enable_wq_decode()
+        dec = model.decoder
+
+        def step_logits(dec_params):
+            cache = dec.init_cache(1, 16, dtype=dec.dtype)
+            embeds = dec.apply(
+                {"params": dec_params},
+                jnp.asarray([[5]], jnp.int32),
+                method=type(dec).embed,
+            )
+            kv_valid = jnp.zeros((1, 16), jnp.int32)
+            logits, _ = dec.apply(
+                {"params": dec_params, "wq": model.wq}, embeds,
+                jnp.zeros((1, 1), jnp.int32), step_kv_valid=kv_valid,
+                cache=cache, cache_index=0,
+            )
+            return np.asarray(logits, np.float32)
+
+        base = step_logits(model.params["decoder"])
+
+        def bump(path, x):
+            return x + 0.5 if any("lora_b" in str(k) for k in path) else x
+
+        bumped_params = jax.tree_util.tree_map_with_path(
+            bump, model.params["decoder"]
+        )
+        bumped = step_logits(bumped_params)
+        assert not np.allclose(base, bumped)  # delta rode the wq step
+
     def test_engine_matches_batch_with_wq(self, wq_pipe):
         """Continuous-engine decode inherits wq via decoder_variables and
         stays token-exact vs the uniform wq path."""
