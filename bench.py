@@ -56,6 +56,10 @@ def main() -> None:
     # TA_BENCH_BATCH).  Measured sweep on this chip (int8 KV): b32 644 /
     # b48 718 / b64 720 RTFx — 48 is the knee (past it the growing cache
     # reads eat what the weight amortization saves).
+    if os.environ.get("TA_WQ_DECODE") == "1":
+        # weight-only int8 decode (ops/wq_matmul.py): measures the
+        # quantized serving mode end-to-end; primary metric stays bf16
+        model.enable_wq_decode()
     batch = int(os.environ.get("TA_BENCH_BATCH", "48"))
     clip_seconds = 30.0
     n_samples = int(clip_seconds * 16000)
@@ -156,7 +160,7 @@ def main() -> None:
         t0 = time.time()
         embeds = model._splice_embeds_jit(model.params, f, m, input_ids)
         for _ in stream_generate(
-            model.decoder, {"params": model.params["decoder"]},
+            model.decoder, model.decoder_variables(),
             embeds, input_ids, model.gen_config,
         ):
             return time.time() - t0
@@ -185,6 +189,7 @@ def main() -> None:
             "p50_utterance_latency_s": round(float(np.median(lats)), 3),
             "streaming_ttfb_s": round(float(np.median(ttfbs)), 3),
             "kv_cache_dtype": cfg.kv_cache_dtype,
+            "wq_decode": model.wq is not None,
             "backend": jax.default_backend(),
         },
     }
