@@ -192,6 +192,7 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
         batcher = DynamicBatcher(handler.pipe, max_batch=max_batch,
                                  max_wait_ms=max_wait_ms)
     lock = batcher.lock if batcher is not None else threading.Lock()
+    rt = None
     if realtime_port is not None:
         from tiny_audio_tpu.realtime import RealtimeServer
 
@@ -210,4 +211,16 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
             "continuous": f" (continuous batching, {max_batch} slots)",
             "none": ""}[engine]
     print(f"[serve] listening on {host}:{port}{mode}")
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("[serve] shutting down...")
+    finally:
+        # Drain order matters: closing the batcher/engine fails still-
+        # queued futures fast (instead of HTTP threads waiting out the
+        # 600 s result timeout), then the servers stop accepting.
+        if rt is not None:
+            rt.shutdown()
+        if batcher is not None:
+            batcher.close()
+        server.shutdown()
