@@ -58,7 +58,10 @@ def make_server(
 
         def do_GET(self):
             if urlparse(self.path).path == "/healthz":
-                self._send(200, {"status": "ok", "framework": "tiny_audio_tpu"})
+                body = {"status": "ok", "framework": "tiny_audio_tpu"}
+                if batcher is not None:  # load-balancer backpressure gauge
+                    body["pending_requests"] = batcher.pending()
+                self._send(200, body)
             else:
                 self._send(404, {"error": "not found"})
 
