@@ -29,7 +29,40 @@ A40_RTFX_ESTIMATE = 20.0
 TARGET_MULTIPLE = 5.0
 
 
+def probe_backend() -> bool:
+    """Backend liveness probe in a SUBPROCESS: when the remote-TPU tunnel
+    on this rig dies, the first backend touch hangs indefinitely with no
+    error (relay ports connection-refused) — a subprocess timeout is the
+    only way to turn that into a diagnosable failure instead of a hung
+    bench.  Returns True when the backend answered."""
+    import os
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=float(os.environ.get("TA_BENCH_PROBE_S", "300")),
+            capture_output=True, check=True,
+        )
+        return True
+    except subprocess.TimeoutExpired:
+        return False
+    except subprocess.CalledProcessError:
+        return False
+
+
 def main() -> None:
+    if not probe_backend():
+        print(json.dumps({
+            "metric": "rtfx_e2e_30s_b48_decode128", "value": 0.0,
+            "unit": "audio_s/s/chip", "vs_baseline": 0.0,
+            "extra": {"error": "accelerator backend unreachable (remote-TPU "
+                               "tunnel down: backend init hung past probe "
+                               "timeout)"},
+        }))
+        return
+
     import jax
 
     from tiny_audio_tpu.utils.compile_cache import enable_persistent_compile_cache
