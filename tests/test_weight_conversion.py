@@ -191,6 +191,91 @@ class TestLlamaFamilyParity:
         np.testing.assert_array_equal(np.asarray(tokens)[0], hf_out)
 
 
+class TestGemmaFamilyParity:
+    """Gemma-v1 text tower: zero-centered (1+w) RMSNorm, GeGLU with the
+    tanh-approximated GELU, sqrt(hidden) embedding normalizer, head_dim
+    decoupled from hidden/num_heads, always-tied embeddings.  Oracle: HF
+    torch GemmaForCausalLM, tiny random weights.  (Gemma-2/3 are refused
+    by decoder_kwargs_from_hf — soft-capping/sliding-window unsupported.)"""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from transformers import GemmaConfig, GemmaForCausalLM
+
+        hf_cfg = GemmaConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+            intermediate_size=96, rope_theta=10_000.0,
+            max_position_embeddings=512, attention_bias=False,
+        )
+        torch_model = GemmaForCausalLM(hf_cfg).eval().float()
+        # random norm weights: the zeros init would make (1+w) == llama's
+        # ones init and hide an offset-convention bug
+        with torch.no_grad():
+            for name, p in torch_model.named_parameters():
+                if "norm" in name:
+                    p.normal_(0.0, 0.5)
+        from tiny_audio_tpu.config import DecoderConfig as DC
+
+        cfg = DC.from_hf_config(hf_cfg.to_dict())
+        assert cfg.qk_norm is False and cfg.head_dim == 32
+        assert cfg.rms_norm_offset and cfg.embedding_normalizer
+        assert cfg.hidden_activation == "gelu_tanh"
+        from tiny_audio_tpu.models.decoder import Qwen3Decoder, convert_hf_qwen3
+
+        params = convert_hf_qwen3(
+            torch_model.state_dict(), cfg, dtype=jnp.float32
+        )
+        flax_model = Qwen3Decoder(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+        return torch_model, flax_model, params
+
+    def test_gemma23_refused(self):
+        from tiny_audio_tpu.config import decoder_kwargs_from_hf
+
+        for mt in ("gemma2", "gemma3_text"):
+            with pytest.raises(ValueError, match="not supported"):
+                decoder_kwargs_from_hf({"model_type": mt, "hidden_size": 64})
+
+    def test_logits_parity(self, pair):
+        torch_model, flax_model, params = pair
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 128, (2, 12)).astype(np.int32)
+        with torch.no_grad():
+            expected = torch_model(torch.from_numpy(ids).long()).logits.numpy()
+        embeds = flax_model.apply(
+            {"params": params}, jnp.asarray(ids), method=flax_model.embed
+        )
+        positions = jnp.broadcast_to(jnp.arange(12), (2, 12))
+        got, _ = flax_model.apply(
+            {"params": params}, embeds, positions,
+            padding_mask=jnp.ones((2, 12), jnp.int32),
+        )
+        np.testing.assert_allclose(np.asarray(got), expected, atol=3e-4,
+                                   rtol=1e-3)
+
+    def test_greedy_decode_parity(self, pair):
+        """Greedy continuation (KV-cached decode loop) matches HF generate."""
+        torch_model, flax_model, params = pair
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, 128, (1, 6)).astype(np.int32)
+        with torch.no_grad():
+            hf_out = torch_model.generate(
+                torch.from_numpy(ids).long(), max_new_tokens=8,
+                do_sample=False, pad_token_id=0,
+            ).numpy()[0, 6:]
+
+        from tiny_audio_tpu.generation import GenerationConfig, generate_tokens
+
+        embeds = flax_model.apply(
+            {"params": params}, jnp.asarray(ids), method=flax_model.embed
+        )
+        gen = GenerationConfig(max_new_tokens=8, eos_token_ids=(), pad_token_id=0)
+        tokens, _ = generate_tokens(
+            flax_model, {"params": params}, embeds, jnp.asarray(ids), gen
+        )
+        np.testing.assert_array_equal(np.asarray(tokens)[0], hf_out)
+
+
 @pytest.mark.slow
 class TestWav2Vec2Parity:
     def test_emissions_parity(self):

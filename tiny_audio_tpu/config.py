@@ -139,6 +139,16 @@ class DecoderConfig:
     # tower" contract (/root/reference/tiny_audio/asr_modeling.py:239-254).
     qk_norm: bool = True
 
+    # Gemma-family (v1) knobs — all default to the Qwen3/Llama behavior.
+    # rms_norm_offset: weights stored zero-centered, applied as (1 + w)
+    # (GemmaRMSNorm).  hidden_activation: MLP gate activation — "silu"
+    # (SwiGLU) or "gelu_tanh" (Gemma GeGLU, torch's gelu_pytorch_tanh).
+    # embedding_normalizer: multiply inputs_embeds by sqrt(hidden_size)
+    # (cast to the compute dtype first, matching HF GemmaModel.forward).
+    rms_norm_offset: bool = False
+    hidden_activation: str = "silu"
+    embedding_normalizer: bool = False
+
     # KV-cache storage: "bfloat16" (default) or "int8" (per-entry-scaled
     # symmetric quantization — halves decode-time cache bandwidth/memory;
     # serving-mode opt-in via ASRConfig.kv_cache_dtype)
@@ -164,8 +174,8 @@ class DecoderConfig:
     @staticmethod
     def from_hf_config(hf: dict) -> "DecoderConfig":
         """Derive decoder dims from an HF causal-LM ``config.json`` dict
-        (qwen3 / llama / smollm2 / mistral) — the offline analogue of the
-        reference's AutoConfig-driven text-tower loading
+        (qwen3 / llama / smollm2 / mistral / gemma v1) — the offline
+        analogue of the reference's AutoConfig-driven text-tower loading
         (``/root/reference/tiny_audio/asr_modeling.py:239-254``)."""
         return DecoderConfig(**decoder_kwargs_from_hf(hf))
 
@@ -201,9 +211,23 @@ def decoder_kwargs_from_hf(hf: dict) -> dict:
     if "num_kv_heads" not in kw and "num_heads" in kw:
         kw["num_kv_heads"] = kw["num_heads"]  # MHA checkpoints omit it
     if "model_type" in hf:
-        # QK-norm is the qwen3 family signature; llama-family configs
+        mt = hf["model_type"]
+        if mt in ("gemma2", "gemma3", "gemma3_text"):
+            # these add attention/logit soft-capping, sliding-window layers
+            # and (v3) dual rope bases — silently running them through the
+            # v1 block would be numerically wrong, so refuse loudly
+            raise ValueError(
+                f"model_type '{mt}' is not supported as a text tower "
+                "(soft-capping / sliding-window attention not implemented); "
+                "supported families: qwen3, llama/smollm2/mistral, gemma (v1)"
+            )
+        # QK-norm is the qwen3 family signature; llama/gemma-v1 configs
         # have no such weights
-        kw["qk_norm"] = hf["model_type"] in ("qwen3", "qwen3_moe")
+        kw["qk_norm"] = mt in ("qwen3", "qwen3_moe")
+        if mt == "gemma":
+            kw["rms_norm_offset"] = True      # (1+w) zero-centered norms
+            kw["hidden_activation"] = "gelu_tanh"  # GeGLU
+            kw["embedding_normalizer"] = True      # embeds x sqrt(hidden)
     return kw
 
 

@@ -113,8 +113,10 @@ class Qwen3Block(nn.Module):
                 y = y + delta.astype(y.dtype)
             return y
 
+        norm_offset = 1.0 if cfg.rms_norm_offset else 0.0
         residual = x
-        x = RMSNorm(cfg.rms_norm_eps, jnp.float32, name="input_layernorm")(x)
+        x = RMSNorm(cfg.rms_norm_eps, jnp.float32, offset=norm_offset,
+                    name="input_layernorm")(x)
 
         q = dense(x, cfg.num_heads * hd, "q_proj").reshape(b, t, cfg.num_heads, hd)
         k = dense(x, cfg.num_kv_heads * hd, "k_proj").reshape(b, t, cfg.num_kv_heads, hd)
@@ -154,10 +156,15 @@ class Qwen3Block(nn.Module):
         x = residual + x
 
         residual = x
-        x = RMSNorm(cfg.rms_norm_eps, jnp.float32, name="post_attention_layernorm")(x)
+        x = RMSNorm(cfg.rms_norm_eps, jnp.float32, offset=norm_offset,
+                    name="post_attention_layernorm")(x)
         gate = dense(x, cfg.intermediate_size, "gate_proj")
         up = dense(x, cfg.intermediate_size, "up_proj")
-        x = dense(jax.nn.silu(gate) * up, cfg.hidden_size, "down_proj")
+        # SwiGLU (qwen3/llama) vs GeGLU with the tanh approximation
+        # (gemma's gelu_pytorch_tanh)
+        act = (jax.nn.silu if cfg.hidden_activation == "silu"
+               else lambda g: jax.nn.gelu(g, approximate=True))
+        x = dense(act(gate) * up, cfg.hidden_size, "down_proj")
         return residual + x, new_cache
 
 
@@ -201,7 +208,10 @@ class Qwen3Decoder(nn.Module):
             length=cfg.num_layers,
         )
         self.layers = block(cfg, self.dtype, self.param_dtype, name="layers")
-        self.norm = RMSNorm(cfg.rms_norm_eps, jnp.float32, name="norm")
+        self.norm = RMSNorm(
+            cfg.rms_norm_eps, jnp.float32,
+            offset=1.0 if cfg.rms_norm_offset else 0.0, name="norm",
+        )
         if not cfg.tie_word_embeddings:
             self.lm_head = nn.Dense(
                 cfg.vocab_size,
@@ -241,6 +251,13 @@ class Qwen3Decoder(nn.Module):
         cfg = self.cfg
         cos, sin = rotary_embed(positions, cfg.head_dim, cfg.rope_theta)
         x = inputs_embeds.astype(self.dtype)
+        if cfg.embedding_normalizer:
+            # Gemma scales inputs_embeds by sqrt(hidden) INSIDE the model
+            # forward (applied to user-passed embeds too), with the scalar
+            # cast to the compute dtype first — spliced audio embeddings
+            # therefore get the same treatment as token rows, matching what
+            # HF would do to a reference-style inputs_embeds call.
+            x = x * jnp.asarray(cfg.hidden_size ** 0.5, self.dtype)
 
         layer_cache = None
         if cache is not None:
@@ -386,9 +403,11 @@ def convert_hf_qwen3(state_dict: dict, cfg: DecoderConfig, dtype=jnp.bfloat16) -
 
     Covers Qwen3ForCausalLM and, with ``cfg.qk_norm=False``, the
     Llama-family layout (LlamaForCausalLM / SmolLM2 / Mistral) — identical
-    key naming minus the per-head ``q_norm``/``k_norm`` weights
-    (the reference accepts any AutoModelForCausalLM text tower,
-    asr_modeling.py:239-254)."""
+    key naming minus the per-head ``q_norm``/``k_norm`` weights — and the
+    Gemma-v1 layout (same keys again; the (1+w) norm convention, GeGLU and
+    the sqrt(hidden) embed normalizer are runtime knobs on DecoderConfig,
+    set by ``decoder_kwargs_from_hf``).  The reference accepts any
+    AutoModelForCausalLM text tower (asr_modeling.py:239-254)."""
 
     def t(name, transpose=False, cast=None):
         w = state_dict[name]

@@ -17,25 +17,33 @@ import jax.numpy as jnp
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """RMSNorm with float32 statistics (LlamaRMSNorm semantics)."""
+def rms_norm(
+    x: jax.Array, weight: jax.Array, eps: float = 1e-6, offset: float = 0.0
+) -> jax.Array:
+    """RMSNorm with float32 statistics (LlamaRMSNorm semantics).
+
+    ``offset=1.0`` selects the Gemma convention: weights are stored
+    zero-centered and applied as ``(1 + w)``, with the cast back to the
+    compute dtype AFTER the weight multiply — exactly GemmaRMSNorm."""
     dtype = x.dtype
     x = x.astype(jnp.float32)
     var = jnp.mean(x * x, axis=-1, keepdims=True)
     x = x * jax.lax.rsqrt(var + eps)
-    return (x * weight.astype(jnp.float32)).astype(dtype)
+    return (x * (offset + weight.astype(jnp.float32))).astype(dtype)
 
 
 class RMSNorm(nn.Module):
     eps: float = 1e-6
     param_dtype: jnp.dtype = jnp.float32
+    offset: float = 0.0  # 1.0 = Gemma zero-centered weights, applied as 1+w
 
     @nn.compact
     def __call__(self, x):
+        init = nn.initializers.zeros if self.offset else nn.initializers.ones
         weight = self.param(
-            "weight", nn.initializers.ones, (x.shape[-1],), self.param_dtype
+            "weight", init, (x.shape[-1],), self.param_dtype
         )
-        return rms_norm(x, weight, self.eps)
+        return rms_norm(x, weight, self.eps, self.offset)
 
 
 def rotary_embed(positions: jax.Array, head_dim: int, theta: float) -> tuple[jax.Array, jax.Array]:
