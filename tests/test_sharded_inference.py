@@ -74,3 +74,30 @@ class TestShardedInference:
         with mesh:
             got = self._generate(sharded, feats, mask)
         np.testing.assert_array_equal(baseline, got)
+
+    def test_tp2_gemma_family_matches(self):
+        """Gemma-v1 knobs (zero-centered (1+w) norms, GeGLU, sqrt(hidden)
+        embed normalizer): param paths are unchanged so the sharding rules
+        must hold, and the normalizer — a scalar multiply on the activation
+        path — must commute with the tp layout exactly."""
+        import dataclasses
+
+        cfg = tiny_test_config(model_dtype="float32")
+        cfg.decoder = dataclasses.replace(
+            cfg.decoder, qk_norm=False, rms_norm_offset=True,
+            hidden_activation="gelu_tanh", embedding_normalizer=True,
+        )
+        model = ASRModel(cfg, seed=0)
+        rng = np.random.default_rng(3)
+        feats = rng.standard_normal(
+            (2, cfg.encoder.num_mel_bins, 50)
+        ).astype(np.float32)
+        mask = np.ones((2, 50), np.int32)
+        baseline = self._generate(model, feats, mask)
+
+        mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+        sharded = ASRModel(cfg, seed=0)
+        sharded.params = shard_params(model.params, mesh)
+        with mesh:
+            got = self._generate(sharded, feats, mask)
+        np.testing.assert_array_equal(baseline, got)
