@@ -196,11 +196,18 @@ class HFTokenizerAdapter:
 
     @property
     def eos_token_ids(self) -> list[int]:
-        candidates = [
-            self.tok.convert_tokens_to_ids(IM_END),
-            self.tok.convert_tokens_to_ids(ENDOFTEXT),
-        ]
-        return [t for t in candidates if t is not None]
+        # Probe by vocab membership, not convert_tokens_to_ids (slow
+        # tokenizers map unknown strings to unk, which must never join the
+        # stop set).  Qwen-style turn/end tokens plus Gemma's
+        # <end_of_turn>, plus whatever the tokenizer declares as EOS —
+        # family-agnostic, matching the reference's "any text tower"
+        # contract (asr_modeling.py:239-254).
+        vocab = self.tok.get_vocab()
+        ids = [vocab[t] for t in (IM_END, ENDOFTEXT, "<end_of_turn>")
+               if t in vocab]
+        if self.tok.eos_token_id is not None:
+            ids.append(self.tok.eos_token_id)
+        return list(dict.fromkeys(ids))
 
     @property
     def pad_token_id(self) -> int:
