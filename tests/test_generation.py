@@ -323,3 +323,73 @@ class TestBucketedPrompt:
         finally:
             asr_mod.PROMPT_BUCKET = orig
         np.testing.assert_array_equal(out_64, out_128)
+
+
+class TestReturnScores:
+    """gen.return_scores: mean chosen-token log-prob under the RAW model
+    distribution — oracle: teacher-force the emitted sequence through one
+    full (cache-free) forward and recompute the per-step log-softmax."""
+
+    def _expected(self, decoder, variables, prompt_embeds, tokens, lengths):
+        t = prompt_embeds.shape[1]
+        out = []
+        for r in range(prompt_embeds.shape[0]):
+            L = int(lengths[r])
+            seq = np.asarray(tokens)[r, :L]
+            parts = [prompt_embeds[r : r + 1]]
+            if L > 1:
+                parts.append(
+                    decoder.apply(
+                        variables, jnp.asarray(seq[None, :-1], jnp.int32),
+                        method=Qwen3Decoder.embed,
+                    )
+                )
+            emb = jnp.concatenate(parts, axis=1)
+            n = emb.shape[1]
+            logits, _ = decoder.apply(
+                variables, emb, jnp.broadcast_to(jnp.arange(n), (1, n)),
+                padding_mask=jnp.ones((1, n), jnp.int32),
+            )
+            logp = jax.nn.log_softmax(
+                np.asarray(logits[0], np.float32), axis=-1
+            )
+            steps = [float(logp[t - 1 + j, seq[j]]) for j in range(L)]
+            out.append(np.mean(steps))
+        return np.asarray(out)
+
+    def test_scores_match_teacher_forcing(self, decoder_and_params, rng):
+        decoder, variables = decoder_and_params
+        b, t = 2, 5
+        ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (b, t)), jnp.int32)
+        embeds = decoder.apply(variables, ids, method=Qwen3Decoder.embed)
+        gen = GenerationConfig(
+            max_new_tokens=10, eos_token_ids=(257,), pad_token_id=0
+        )
+        tokens, lengths = generate_tokens(decoder, variables, embeds, ids, gen)
+        tokens_s, lengths_s, scores = generate_tokens(
+            decoder, variables, embeds, ids,
+            dataclasses.replace(gen, return_scores=True),
+        )
+        # the scored graph must not perturb the decode itself
+        np.testing.assert_array_equal(np.asarray(tokens), np.asarray(tokens_s))
+        np.testing.assert_array_equal(np.asarray(lengths), np.asarray(lengths_s))
+        expected = self._expected(decoder, variables, embeds, tokens_s, lengths_s)
+        np.testing.assert_allclose(np.asarray(scores), expected, atol=5e-4)
+        assert np.all(np.asarray(scores) <= 0.0)  # log-probs
+
+    def test_scores_raw_even_under_penalty(self, decoder_and_params, rng):
+        """Selection follows the penalized logits; the score stays the raw
+        distribution's log-prob of whatever was chosen."""
+        decoder, variables = decoder_and_params
+        b, t = 2, 4
+        ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (b, t)), jnp.int32)
+        embeds = decoder.apply(variables, ids, method=Qwen3Decoder.embed)
+        gen = GenerationConfig(
+            max_new_tokens=8, eos_token_ids=(257,), pad_token_id=0,
+            repetition_penalty=1.3, return_scores=True,
+        )
+        tokens, lengths, scores = generate_tokens(
+            decoder, variables, embeds, ids, gen
+        )
+        expected = self._expected(decoder, variables, embeds, tokens, lengths)
+        np.testing.assert_allclose(np.asarray(scores), expected, atol=5e-4)

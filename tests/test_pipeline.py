@@ -125,6 +125,18 @@ def test_pipeline_custom_prompt(tiny_pipeline, rng):
     assert "text" in out
 
 
+def test_pipeline_confidence(tiny_pipeline, rng):
+    """return_confidence: exp(mean chosen-token logp) in (0, 1], absent by
+    default, and the text itself is unchanged by the scored graph."""
+    audio = (rng.standard_normal(12000) * 0.1).astype(np.float32)
+    inputs = {"array": audio, "sampling_rate": 16000}
+    plain = tiny_pipeline(inputs)
+    assert "confidence" not in plain
+    out = tiny_pipeline(inputs, return_confidence=True)
+    assert out["text"] == plain["text"]
+    assert 0.0 < out["confidence"] <= 1.0
+
+
 class TestLongFormChunking:
     """Long-form audio is split into encoder-window chunks and transcripts
     joined (reference asr_pipeline.py:204-220 inherits HF chunking)."""

@@ -80,6 +80,17 @@ class TestHTTPServer:
             body = json.loads(r.read())
         assert "text" in body
 
+    def test_transcribe_confidence(self, server_url):
+        audio = np.zeros(8000, np.float32).tobytes()
+        req = urllib.request.Request(
+            f"{server_url}/transcribe?confidence=1", data=audio,
+            headers={"Content-Type": "application/pcm-f32"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        assert "text" in body
+        assert 0.0 < body["confidence"] <= 1.0
+
     def test_unknown_route_404(self, server_url):
         req = urllib.request.Request(f"{server_url}/nope", data=b"x")
         with pytest.raises(urllib.error.HTTPError) as e:

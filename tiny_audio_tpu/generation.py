@@ -39,6 +39,12 @@ class GenerationConfig:
     num_beams: int = 1
     length_penalty: float = 1.0
     no_repeat_ngram_size: int = 0
+    # Also return per-row mean log-probability of the chosen tokens under
+    # the RAW model distribution (pre penalty/ngram/eos-mask — the model's
+    # own confidence, not the decode-time hacks').  Static: the False trace
+    # is identical to not having the feature, so warm compile caches stay
+    # valid; True compiles its own graph with the extra carry.
+    return_scores: bool = False
 
     def __post_init__(self):
         if self.no_repeat_ngram_size == 1:
@@ -199,6 +205,9 @@ def generate_tokens(
     Returns:
         (tokens [B, max_new_tokens] int32 — pad_token_id after EOS,
          lengths [B] int32 — generated length including the EOS token).
+        With ``gen.return_scores``, a third element: [B] float32 mean
+        log-probability of the chosen tokens (incl. the EOS step) under the
+        raw model distribution — ``exp()`` of it is a (0, 1] confidence.
     """
     if fused_decode is None:
         fused_decode = _fused_decode_available(decoder)
@@ -320,6 +329,11 @@ def _generate_tokens(
         "step": jnp.int32(1),
         "rng": rng,
     }
+    if gen.return_scores:
+        logp0 = jax.nn.log_softmax(last_logits, axis=-1)
+        state["logp_sum"] = jnp.take_along_axis(
+            logp0, tok0[:, None], axis=1
+        )[:, 0]
 
     def cond(st):
         return (st["step"] < gen.max_new_tokens) & ~jnp.all(st["finished"])
@@ -361,7 +375,7 @@ def _generate_tokens(
         all_toks = st["all_tokens"]
         if use_ngram:
             all_toks = all_toks.at[:, prompt_len + step].set(tok)
-        return {
+        out = {
             "cache": new_cache,
             "tokens": tokens,
             "cur": tok,
@@ -372,6 +386,16 @@ def _generate_tokens(
             "step": step + 1,
             "rng": rng,
         }
+        if gen.return_scores:
+            # raw-distribution logp of the chosen token; rows already
+            # finished BEFORE this step emit pad and accumulate nothing
+            # (matching lengths, which also counts the EOS step itself)
+            logp = jax.nn.log_softmax(logits_f32, axis=-1)
+            logp_tok = jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
+            out["logp_sum"] = st["logp_sum"] + jnp.where(
+                st["finished"], 0.0, logp_tok
+            )
+        return out
 
     state = jax.lax.while_loop(cond, body, state)
     # rows still unfinished ran the full budget (loop-tracked: correct even
@@ -379,7 +403,11 @@ def _generate_tokens(
     lengths = jnp.where(
         state["finished"], state["lengths"], gen.max_new_tokens
     )
-    return state["tokens"], lengths.astype(jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+    if gen.return_scores:
+        scores = state["logp_sum"] / jnp.maximum(lengths, 1).astype(jnp.float32)
+        return state["tokens"], lengths, scores
+    return state["tokens"], lengths
 
 
 @functools.partial(jax.jit, static_argnames=("decoder", "gen"))

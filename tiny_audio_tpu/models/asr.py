@@ -437,7 +437,11 @@ class ASRModel:
         **overrides,
     ) -> np.ndarray:
         """Transcribe a batch.  Returns generated token ids [B, max_new]
-        (pad after EOS), prompt already stripped.
+        (pad after EOS), prompt already stripped.  With
+        ``return_scores=True`` (a GenerationConfig override), returns
+        ``(tokens, scores)`` where scores[B] is the mean log-probability of
+        the chosen tokens under the raw model distribution — ``exp()`` is a
+        (0, 1] per-utterance confidence (greedy/sampling paths only).
 
         ``mel_length``: batch-max real mel frames when the caller already
         knows it (the processor does) — skips a device->host sync of the
@@ -459,6 +463,11 @@ class ASRModel:
             import dataclasses as _dc
 
             gen = _dc.replace(gen, **overrides)
+        if gen.return_scores and gen.num_beams > 1:
+            raise ValueError(
+                "return_scores supports the greedy/sampling decode paths; "
+                "beam search carries its own hypothesis scores"
+            )
 
         # Right-pad the prompt to a static PROMPT_BUCKET multiple so the
         # generate graph is keyed on the bucket, not the exact token count
@@ -484,7 +493,7 @@ class ASRModel:
         # mid-process retraces instead of silently reusing the first trace.
         from tiny_audio_tpu.generation import _fused_decode_available
 
-        tokens, _ = self._generate_jit(
+        out = self._generate_jit(
             self.params, input_features, audio_attention_mask,
             input_ids, prompt_mask, gen,
             # wq reads params through its own kernel; the fused decode loop
@@ -494,6 +503,10 @@ class ASRModel:
             prompt_len=jnp.int32(t_real),
             wq=self.wq,
         )
+        if gen.return_scores:
+            tokens, _, scores = out
+            return np.asarray(tokens), np.asarray(scores)
+        tokens, _ = out
         return np.asarray(tokens)
 
     def mel_window_frames(self) -> int:

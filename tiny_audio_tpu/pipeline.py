@@ -127,6 +127,7 @@ class ASRPipeline:
         inputs,
         return_timestamps: bool = False,
         return_speakers: bool = False,
+        return_confidence: bool = False,
         user_prompt: Optional[str] = None,
         num_speakers: Optional[int] = None,
         min_speakers: Optional[int] = None,
@@ -134,6 +135,11 @@ class ASRPipeline:
         chunk_length_s: Optional[float] = None,
         **generate_kwargs,
     ) -> dict:
+        """``return_confidence``: add ``result["confidence"]`` — exp of the
+        mean chosen-token log-probability under the raw model distribution,
+        in (0, 1] (longform: unweighted mean over chunk rows).  A feature
+        the reference lacks; compiles its own generate graph on first use
+        (the default graph is untouched)."""
         if return_speakers:
             return_timestamps = True
 
@@ -167,6 +173,7 @@ class ASRPipeline:
         if tail:
             groups.append(tail)
         texts: list[str] = []
+        chunk_logps: list[float] = []
         for group in groups:
             # Pad the group to a power-of-2 batch bucket so only
             # log2(LONGFORM_BATCH)+1 generate shapes ever compile (a
@@ -182,17 +189,23 @@ class ASRPipeline:
                 np.zeros_like(group[0]) for _ in range(bucket - n_real)
             ]
             feats = self.processor.extract_features(group)
-            tokens = self.model.generate(
+            out = self.model.generate(
                 feats["input_features"],
                 feats["audio_attention_mask"],
                 user_prompt=user_prompt,
                 mel_length=int(np.max(feats["mel_lengths"])),
+                return_scores=return_confidence,
                 **generate_kwargs,
             )
+            tokens = out[0] if return_confidence else out
+            if return_confidence:
+                chunk_logps.extend(float(s) for s in out[1][:n_real])
             texts.extend(
                 self.postprocess_tokens(tokens[i]) for i in range(n_real)
             )
         result = {"text": " ".join(t for t in texts if t).strip()}
+        if return_confidence:
+            result["confidence"] = float(np.exp(np.mean(chunk_logps)))
 
         if return_timestamps:
             text = result["text"]

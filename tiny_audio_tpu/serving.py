@@ -8,7 +8,8 @@ one graph) while mel extraction and wav decoding run on request threads.
 Routes:
     POST /transcribe        body: wav bytes (or raw f32 PCM with
                             ``Content-Type: application/pcm-f32``)
-                            query params: timestamps=1, speakers=1, prompt=...
+                            query params: timestamps=1, speakers=1,
+                            confidence=1, prompt=...
     GET  /healthz           liveness + model info
 """
 
@@ -83,6 +84,8 @@ def make_server(
                 params["return_timestamps"] = True
             if q.get("speakers", ["0"])[0] == "1":
                 params["return_speakers"] = True
+            if q.get("confidence", ["0"])[0] == "1":
+                params["return_confidence"] = True
             if "prompt" in q:
                 params["user_prompt"] = q["prompt"][0]
 
@@ -90,6 +93,7 @@ def make_server(
                 batcher is not None
                 and not params.get("return_timestamps")
                 and not params.get("return_speakers")
+                and not params.get("return_confidence")  # solo path (scored graph)
             ):
                 try:
                     audio = batcher.pipe.extract_audio(inputs)["array"]
