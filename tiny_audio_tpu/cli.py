@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     tx.add_argument("--timestamps", action="store_true",
                     help="word-level timestamps")
     tx.add_argument("--speakers", action="store_true", help="diarization")
+    tx.add_argument("--confidence", action="store_true",
+                    help="per-utterance confidence (mean token probability)")
     tx.add_argument("--prompt", default=None, help="custom user prompt")
     tx.add_argument("--json", action="store_true", dest="as_json",
                     help="print full result dicts as JSON lines")
@@ -173,6 +175,8 @@ def _cmd_transcribe(args) -> int:
         kwargs["return_timestamps"] = True
     if args.speakers:
         kwargs["return_speakers"] = True
+    if args.confidence:
+        kwargs["return_confidence"] = True
     if args.prompt:
         kwargs["user_prompt"] = args.prompt
     for path in args.files:

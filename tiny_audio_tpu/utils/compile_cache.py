@@ -51,11 +51,31 @@ def enable_persistent_compile_cache(cache_dir: Optional[str] = None) -> Optional
     cache dir is unwritable — the cost is recompilation, not correctness.
     """
     global _enabled_dir
+    explicit = cache_dir is not None or os.environ.get("TA_JAX_CACHE_DIR")
     cache_dir = cache_dir if cache_dir is not None else default_cache_dir()
     if cache_dir is None:
         return _enabled_dir
     if _enabled_dir == cache_dir:
         return _enabled_dir
+    if not explicit:
+        # CPU-pinned processes (tests, virtual-mesh dryruns) skip the cache:
+        # CPU entries are AOT results whose LLVM machine features are baked
+        # in at compile time, and this cache directory outlives the host —
+        # xla's cpu_aot_loader warns that loading an entry compiled under
+        # different features "could lead to execution errors such as
+        # SIGILL".  CPU compiles are seconds anyway; the cache exists for
+        # the minutes-long TPU graphs.  Checked via the jax_platforms
+        # CONFIG value (never initializes a backend — entrypoints call this
+        # before first device touch, and backend init hangs when the
+        # remote-TPU tunnel is down).
+        try:
+            import jax
+
+            platforms = (jax.config.jax_platforms or "").lower()
+        except Exception:  # pragma: no cover - defensive
+            platforms = ""
+        if platforms.split(",")[0] == "cpu":
+            return None
     try:
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         import jax
