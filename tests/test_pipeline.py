@@ -125,6 +125,18 @@ def test_pipeline_custom_prompt(tiny_pipeline, rng):
     assert "text" in out
 
 
+def test_pipeline_rejects_non_finite_audio(tiny_pipeline):
+    """NaN/Inf input must fail loudly, not decode into confident junk
+    (the serving fuzz found NaN PCM returning 200 with garbage text)."""
+    bad = np.full(8000, np.nan, np.float32)
+    with pytest.raises(ValueError, match="non-finite"):
+        tiny_pipeline({"array": bad, "sampling_rate": 16000})
+    inf = np.zeros(8000, np.float32)
+    inf[100] = np.inf
+    with pytest.raises(ValueError, match="non-finite"):
+        ASRPipeline.extract_audio(inf)
+
+
 def test_pipeline_confidence(tiny_pipeline, rng):
     """return_confidence: exp(mean chosen-token logp) in (0, 1], absent by
     default, and the text itself is unchanged by the scored graph."""

@@ -97,6 +97,27 @@ class TestHTTPServer:
             urllib.request.urlopen(req)
         assert e.value.code == 404
 
+    @pytest.mark.parametrize("name,body,ctype", [
+        ("garbage", b"\x00\x01NOTAWAV" * 64, "application/octet-stream"),
+        ("truncated-riff", b"RIFF\x24\x00\x00\x00WAVE", "application/octet-stream"),
+        ("empty", b"", "application/octet-stream"),
+        ("nan-pcm", np.full(1000, np.nan, np.float32).tobytes(),
+         "application/pcm-f32"),
+    ])
+    def test_malformed_bodies_yield_json_errors(self, server_url, name,
+                                                body, ctype):
+        """Adversarial request bodies must produce a descriptive JSON error
+        — never a 200 with junk text (NaN PCM did exactly that before the
+        pipeline's finite check) and never a crashed connection."""
+        req = urllib.request.Request(
+            f"{server_url}/transcribe", data=body,
+            headers={"Content-Type": ctype},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=120)
+        assert e.value.code == 500
+        assert json.loads(e.value.read())["error"]
+
 
 class TestShardedServing:
     @pytest.mark.slow

@@ -105,6 +105,13 @@ class ASRPipeline:
         array = np.asarray(array, dtype=np.float32).squeeze()
         if array.ndim > 1:
             array = array.mean(axis=0)
+        if not np.isfinite(array).all():
+            # NaN/Inf input poisons the whole decode into confident junk
+            # (NaN mel -> NaN logits -> argmax garbage with a 200 status);
+            # the training collator already drops such clips for the same
+            # reason (reference train.py:273-308).  One host pass over the
+            # samples; decoded-from-WAV int PCM can't trip it.
+            raise ValueError("audio contains non-finite samples (NaN/Inf)")
         if rate != target_rate:
             array = resample(array, rate, target_rate)
             rate = target_rate
