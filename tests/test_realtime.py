@@ -674,3 +674,55 @@ class TestBatchedTurnDecodes:
         finally:
             server.shutdown()
             eng.close()
+
+
+class TestAdversarialClients:
+    """Malformed client traffic must never kill a session or the server."""
+
+    def test_garbage_messages_session_still_works(self, rt_server):
+        from websockets.sync.client import connect
+
+        with connect(
+            f"ws://127.0.0.1:{rt_server.port}/ws?sample_rate=16000",
+            ping_interval=None,
+        ) as ws:
+            ws.send("not json at all")
+            ws.send(json.dumps([1, 2, 3]))          # valid JSON, not a dict
+            ws.send(json.dumps({"no_type": True}))   # dict without a type
+            ws.send(b"\x01")                          # odd-byte PCM frame
+            # the session must still transcribe after all of that
+            for chunk in (tone(0.8), silence(1.0)):
+                pcm = (np.clip(chunk, -1, 1) * 32767).astype("<i2").tobytes()
+                ws.send(pcm)
+            ws.send(json.dumps({"type": "Terminate"}))
+            msgs = []
+            while True:
+                msgs.append(json.loads(ws.recv(timeout=120)))
+                if msgs[-1]["type"] == "Termination":
+                    break
+        finals = [m for m in msgs
+                  if m["type"] == "Turn" and m["end_of_turn"]]
+        assert len(finals) == 1
+
+    def test_invalid_sample_rate_defaults(self, rt_server):
+        """?sample_rate=0 must not divide-by-zero in resample; it falls
+        back to 16 kHz and the session works."""
+        from websockets.sync.client import connect
+
+        with connect(
+            f"ws://127.0.0.1:{rt_server.port}/ws?sample_rate=0",
+            ping_interval=None,
+        ) as ws:
+            for chunk in (tone(0.8), silence(1.0)):
+                pcm = (np.clip(chunk, -1, 1) * 32767).astype("<i2").tobytes()
+                ws.send(pcm)
+            ws.send(json.dumps({"type": "Terminate"}))
+            msgs = []
+            while True:
+                msgs.append(json.loads(ws.recv(timeout=120)))
+                if msgs[-1]["type"] == "Termination":
+                    break
+        finals = [m for m in msgs
+                  if m["type"] == "Turn" and m["end_of_turn"]]
+        assert len(finals) == 1
+        assert msgs[-1]["audio_duration_seconds"] == pytest.approx(1.8, abs=0.05)

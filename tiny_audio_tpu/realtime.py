@@ -385,6 +385,8 @@ class RealtimeServer:
 
             q = parse_qs(urlparse(ws.request.path).query)
             sample_rate = int(q.get("sample_rate", ["16000"])[0])
+            if not 4000 <= sample_rate <= 192000:
+                sample_rate = 16000  # 0/negative would divide-by-zero in resample
             if q.get("speakers", ["false"])[0].lower() in ("true", "1"):
                 tracker = OnlineSpeakerTracker()
             if q.get("timestamps", ["false"])[0].lower() in ("true", "1"):
@@ -430,6 +432,8 @@ class RealtimeServer:
                     cmd = json.loads(msg)
                 except (TypeError, ValueError):
                     continue
+                if not isinstance(cmd, dict):
+                    continue  # valid JSON but not a command (e.g. a list)
                 if cmd.get("type") == "ForceEndpoint":
                     turn_order = self._dispatch(
                         ws, ep.force_endpoint(), turn_order, tracker,
