@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     tx.add_argument("--speakers", action="store_true", help="diarization")
     tx.add_argument("--confidence", action="store_true",
                     help="per-utterance confidence (mean token probability)")
+    tx.add_argument("--srt", action="store_true",
+                    help="print SubRip subtitles (implies --timestamps)")
+    tx.add_argument("--vtt", action="store_true",
+                    help="print WebVTT subtitles (implies --timestamps)")
     tx.add_argument("--prompt", default=None, help="custom user prompt")
     tx.add_argument("--json", action="store_true", dest="as_json",
                     help="print full result dicts as JSON lines")
@@ -171,7 +175,7 @@ def _cmd_transcribe(args) -> int:
 
     pipe = ASRPipeline(ASRModel.from_pretrained(args.model))
     kwargs = {}
-    if args.timestamps:
+    if args.timestamps or args.srt or args.vtt:
         kwargs["return_timestamps"] = True
     if args.speakers:
         kwargs["return_speakers"] = True
@@ -181,7 +185,14 @@ def _cmd_transcribe(args) -> int:
         kwargs["user_prompt"] = args.prompt
     for path in args.files:
         result = pipe(path, **kwargs)
-        if args.as_json:
+        if args.srt or args.vtt:
+            from tiny_audio_tpu.utils.subtitles import to_srt, to_vtt
+
+            render = to_srt if args.srt else to_vtt
+            if len(args.files) > 1:
+                print(f"# {path}")
+            print(render(result.get("words") or []))
+        elif args.as_json:
             print(json.dumps({"file": path, **result}))
         elif len(args.files) > 1:
             print(f"{path}\t{result['text']}")
