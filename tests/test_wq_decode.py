@@ -72,6 +72,17 @@ class TestWqDecodePaths:
         t2 = wq_pipe.transcribe_batch([a])[0]
         assert isinstance(t1, str) and t1 == t2
 
+    def test_confidence_under_wq(self, wq_pipe):
+        """return_scores and wq decode both touch the T==1 step: the scored
+        graph must read the wq collection too, and scoring must not perturb
+        the emitted text."""
+        a = _clip(7)
+        plain = wq_pipe({"array": a, "sampling_rate": 16000})
+        scored = wq_pipe({"array": a, "sampling_rate": 16000},
+                         return_confidence=True)
+        assert scored["text"] == plain["text"]
+        assert 0.0 < scored["confidence"] <= 1.0
+
     def test_wq_tracks_bf16_decode(self, wq_pipe):
         """Quantized greedy decode agrees with full-precision decode on
         most tokens of a short budget (int8 weight error only flips
