@@ -140,3 +140,29 @@ class TestHandlerLocal:
         hl = _load("handler_local")
         with pytest.raises(SystemExit):
             hl.find_latest_checkpoint(tmp_path)
+
+
+class TestDoctor:
+    def test_report_structure_cpu(self, monkeypatch):
+        monkeypatch.setenv("TA_DOCTOR_PLATFORM", "cpu")
+        from tiny_audio_tpu.doctor import run_doctor
+
+        report = run_doctor(probe_timeout_s=240)
+        assert report["backend"]["ok"] and report["backend"]["platform"] == "cpu"
+        assert report["backend"]["device_count"] >= 1
+        assert report["versions"]["jax"]
+        assert "available" in report["native_audio"]
+        assert report["status"] == "degraded"  # cpu = no accelerator
+
+    def test_probe_timeout_reports_unreachable(self, monkeypatch):
+        import tiny_audio_tpu.doctor as doc
+
+        def fake_run(*a, **k):
+            import subprocess
+
+            raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+
+        monkeypatch.setattr(doc.subprocess, "run", fake_run)
+        report = doc.run_doctor(probe_timeout_s=1)
+        assert report["status"] == "unreachable"
+        assert "timeout" in report["backend"]["error"]

@@ -108,6 +108,14 @@ def build_parser() -> argparse.ArgumentParser:
     demo.add_argument("--share", action="store_true")
     demo.set_defaults(func=_cmd_demo)
 
+    doc = sub.add_parser(
+        "doctor", help="Environment diagnostics (backend/cache/native)"
+    )
+    doc.add_argument("--timeout", type=float, default=None,
+                     help="backend probe timeout seconds (default 300)")
+    doc.add_argument("--json", action="store_true", dest="as_json")
+    doc.set_defaults(func=_cmd_doctor)
+
     dev = sub.add_parser("dev", help="Developer tasks")
     dev.add_argument(
         "task",
@@ -209,6 +217,12 @@ def _cmd_demo(args) -> int:
         return 1
     create_demo(args.model).launch(share=args.share)
     return 0
+
+
+def _cmd_doctor(args) -> int:
+    from tiny_audio_tpu.doctor import main as doctor_main
+
+    return doctor_main(probe_timeout_s=args.timeout, as_json=args.as_json)
 
 
 def _cmd_dev(args) -> int:
