@@ -97,6 +97,26 @@ class TestHTTPServer:
             urllib.request.urlopen(req)
         assert e.value.code == 404
 
+    def test_metrics_endpoint(self, server_url):
+        """Prometheus text format: counters increment, histogram sums."""
+        audio = np.zeros(8000, np.float32).tobytes()
+        req = urllib.request.Request(
+            f"{server_url}/transcribe", data=audio,
+            headers={"Content-Type": "application/pcm-f32"},
+        )
+        with urllib.request.urlopen(req) as r:
+            r.read()
+        with urllib.request.urlopen(f"{server_url}/metrics") as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert 'ta_requests_total{route="/transcribe",code="200"}' in text
+        count = [ln for ln in text.splitlines()
+                 if ln.startswith("ta_transcribe_latency_seconds_count")]
+        assert count and int(count[0].split()[-1]) >= 1
+        inf = [ln for ln in text.splitlines() if 'le="+Inf"' in ln]
+        assert inf and int(inf[0].split()[-1]) >= 1
+        assert "ta_uptime_seconds" in text
+
     @pytest.mark.parametrize("name,body,ctype", [
         ("garbage", b"\x00\x01NOTAWAV" * 64, "application/octet-stream"),
         ("truncated-riff", b"RIFF\x24\x00\x00\x00WAVE", "application/octet-stream"),

@@ -11,17 +11,83 @@ Routes:
                             query params: timestamps=1, speakers=1,
                             confidence=1, prompt=...
     GET  /healthz           liveness + model info
+    GET  /metrics           Prometheus text format: request counters,
+                            transcribe latency histogram, queue depth
 """
 
 from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
+
+
+class ServerMetrics:
+    """Thread-safe request counters + latency histogram, rendered in the
+    Prometheus text exposition format at ``GET /metrics``.  Stdlib-only
+    (no prometheus_client dependency), like the rest of this server."""
+
+    #: histogram upper bounds (seconds) — spans the 0.3 s warm single call
+    #: through cold-compile-scale outliers
+    BUCKETS = (0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 30.0, 120.0, 600.0)
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._requests: dict[tuple[str, int], int] = {}
+        self._hist = [0] * (len(self.BUCKETS) + 1)  # +Inf tail
+        self._sum = 0.0
+        self._count = 0
+        self._started = time.monotonic()
+
+    def observe(self, route: str, code: int, seconds: float) -> None:
+        with self._lock:
+            key = (route, code)
+            self._requests[key] = self._requests.get(key, 0) + 1
+            if route == "/transcribe":
+                self._sum += seconds
+                self._count += 1
+                for i, ub in enumerate(self.BUCKETS):
+                    if seconds <= ub:
+                        self._hist[i] += 1
+                        break
+                else:
+                    self._hist[-1] += 1
+
+    def render(self, pending: Optional[int] = None) -> str:
+        with self._lock:
+            lines = [
+                "# TYPE ta_requests_total counter",
+                *(
+                    f'ta_requests_total{{route="{r}",code="{c}"}} {n}'
+                    for (r, c), n in sorted(self._requests.items())
+                ),
+                "# TYPE ta_transcribe_latency_seconds histogram",
+            ]
+            cum = 0
+            for ub, n in zip(self.BUCKETS, self._hist):
+                cum += n
+                lines.append(
+                    f'ta_transcribe_latency_seconds_bucket{{le="{ub}"}} {cum}'
+                )
+            lines.append(
+                f'ta_transcribe_latency_seconds_bucket{{le="+Inf"}} '
+                f"{cum + self._hist[-1]}"
+            )
+            lines.append(f"ta_transcribe_latency_seconds_sum {self._sum:.6f}")
+            lines.append(f"ta_transcribe_latency_seconds_count {self._count}")
+            lines.append("# TYPE ta_uptime_seconds gauge")
+            lines.append(
+                f"ta_uptime_seconds {time.monotonic() - self._started:.1f}"
+            )
+            if pending is not None:
+                lines.append("# TYPE ta_pending_requests gauge")
+                lines.append(f"ta_pending_requests {pending}")
+            return "\n".join(lines) + "\n"
 
 
 def make_server(
@@ -44,12 +110,14 @@ def make_server(
     one."""
     if lock is None:
         lock = batcher.lock if batcher is not None else threading.Lock()
+    metrics = ServerMetrics()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
 
         def _send(self, code: int, body: dict) -> None:
+            self._last_code = code
             payload = json.dumps(body).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -58,15 +126,40 @@ def make_server(
             self.wfile.write(payload)
 
         def do_GET(self):
-            if urlparse(self.path).path == "/healthz":
+            path = urlparse(self.path).path
+            if path == "/healthz":
                 body = {"status": "ok", "framework": "tiny_audio_tpu"}
                 if batcher is not None:  # load-balancer backpressure gauge
                     body["pending_requests"] = batcher.pending()
                 self._send(200, body)
+            elif path == "/metrics":
+                pending = batcher.pending() if batcher is not None else None
+                payload = metrics.render(pending).encode()
+                self._last_code = 200
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
             else:
                 self._send(404, {"error": "not found"})
+            metrics.observe(path if path in ("/healthz", "/metrics")
+                            else "/other", self._last_code, 0.0)
 
         def do_POST(self):
+            t0 = time.monotonic()
+            self._last_code = 0
+            try:
+                self._post()
+            finally:
+                path = urlparse(self.path).path
+                metrics.observe(
+                    path if path == "/transcribe" else "/other",
+                    self._last_code, time.monotonic() - t0,
+                )
+
+        def _post(self):
             url = urlparse(self.path)
             if url.path != "/transcribe":
                 self._send(404, {"error": "not found"})
@@ -125,7 +218,9 @@ def make_server(
                 result = handler({"inputs": inputs, "parameters": params})
             self._send(200 if "error" not in result else 500, result)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.metrics = metrics  # exposed for tests / embedding
+    return server
 
 
 def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
