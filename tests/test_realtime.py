@@ -7,6 +7,7 @@ eval client uses (eval/evaluators/asr.py:160-225) against a tiny model.
 """
 
 import json
+import time
 import threading
 
 import numpy as np
@@ -726,3 +727,18 @@ class TestAdversarialClients:
                   if m["type"] == "Turn" and m["end_of_turn"]]
         assert len(finals) == 1
         assert msgs[-1]["audio_duration_seconds"] == pytest.approx(1.8, abs=0.05)
+
+
+def test_active_sessions_gauge(rt_server):
+    from websockets.sync.client import connect
+
+    base = rt_server.active_sessions()
+    with connect(f"ws://127.0.0.1:{rt_server.port}/ws", ping_interval=None):
+        deadline = time.time() + 10
+        while rt_server.active_sessions() != base + 1 and time.time() < deadline:
+            time.sleep(0.02)
+        assert rt_server.active_sessions() == base + 1
+    deadline = time.time() + 10
+    while rt_server.active_sessions() != base and time.time() < deadline:
+        time.sleep(0.02)
+    assert rt_server.active_sessions() == base

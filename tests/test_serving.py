@@ -117,6 +117,17 @@ class TestHTTPServer:
         assert inf and int(inf[0].split()[-1]) >= 1
         assert "ta_uptime_seconds" in text
 
+    def test_metrics_extra_gauges(self):
+        from tiny_audio_tpu.serving import ServerMetrics
+
+        m = ServerMetrics()
+        m.gauge_fns["ta_realtime_sessions"] = lambda: 3
+        m.gauge_fns["ta_broken_gauge"] = lambda: 1 / 0  # must not break scrape
+        text = m.render()
+        assert "ta_realtime_sessions 3" in text
+        assert "ta_broken_gauge" not in text
+        assert text.endswith("\n")
+
     @pytest.mark.parametrize("name,body,ctype", [
         ("garbage", b"\x00\x01NOTAWAV" * 64, "application/octet-stream"),
         ("truncated-riff", b"RIFF\x24\x00\x00\x00WAVE", "application/octet-stream"),

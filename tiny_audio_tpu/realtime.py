@@ -335,6 +335,14 @@ class RealtimeServer:
                 self.vad_fn = lambda a: frame_vad_auto(a)[0]  # noqa: E731
         self._server = None
         self._thread: Optional[threading.Thread] = None
+        self._active = 0  # live websocket sessions (ops gauge)
+        self._active_lock = threading.Lock()
+
+    def active_sessions(self) -> int:
+        """Currently connected sessions (exported to /metrics when
+        co-hosted with the HTTP server)."""
+        with self._active_lock:
+            return self._active
 
     def _make_endpointer(self) -> TurnEndpointer:
         if self.vad_fn is not None:
@@ -375,6 +383,15 @@ class RealtimeServer:
     # ------------------------------------------------------------ connection
 
     def _handle(self, ws) -> None:
+        with self._active_lock:
+            self._active += 1
+        try:
+            self._handle_session(ws)
+        finally:
+            with self._active_lock:
+                self._active -= 1
+
+    def _handle_session(self, ws) -> None:
         from websockets.exceptions import ConnectionClosed
 
         sample_rate = 16000

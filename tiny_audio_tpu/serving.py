@@ -43,6 +43,9 @@ class ServerMetrics:
         self._sum = 0.0
         self._count = 0
         self._started = time.monotonic()
+        #: extra gauges: name -> zero-arg callable sampled at render time
+        #: (e.g. the co-hosted realtime server's live session count)
+        self.gauge_fns: dict[str, callable] = {}
 
     def observe(self, route: str, code: int, seconds: float) -> None:
         with self._lock:
@@ -87,6 +90,13 @@ class ServerMetrics:
             if pending is not None:
                 lines.append("# TYPE ta_pending_requests gauge")
                 lines.append(f"ta_pending_requests {pending}")
+            for name, fn in self.gauge_fns.items():
+                try:
+                    value = fn()
+                except Exception:  # a gauge must never break the scrape
+                    continue
+                lines.append(f"# TYPE {name} gauge")
+                lines.append(f"{name} {value}")
             return "\n".join(lines) + "\n"
 
 
@@ -309,6 +319,8 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
               + ("turn decodes batch with HTTP traffic)"
                  if batcher is not None else "shares the TPU lock)"))
     server = make_server(handler, host, port, batcher=batcher, lock=lock)
+    if rt is not None:
+        server.metrics.gauge_fns["ta_realtime_sessions"] = rt.active_sessions
     mode = {"dynamic": f" (dynamic batching <= {max_batch})",
             "continuous": f" (continuous batching, {max_batch} slots)",
             "none": ""}[engine]
