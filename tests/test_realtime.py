@@ -742,3 +742,27 @@ def test_active_sessions_gauge(rt_server):
     while rt_server.active_sessions() != base and time.time() < deadline:
         time.sleep(0.02)
     assert rt_server.active_sessions() == base
+
+
+def test_confidence_query_on_finals(rt_server):
+    from websockets.sync.client import connect
+
+    with connect(
+        f"ws://127.0.0.1:{rt_server.port}/ws?sample_rate=16000&confidence=true",
+        ping_interval=None,
+    ) as ws:
+        for chunk in (tone(0.8), silence(1.0)):
+            pcm = (np.clip(chunk, -1, 1) * 32767).astype("<i2").tobytes()
+            ws.send(pcm)
+        ws.send(json.dumps({"type": "Terminate"}))
+        msgs = []
+        while True:
+            msgs.append(json.loads(ws.recv(timeout=120)))
+            if msgs[-1]["type"] == "Termination":
+                break
+    finals = [m for m in msgs if m["type"] == "Turn" and m["end_of_turn"]]
+    assert len(finals) == 1
+    assert 0.0 < finals[0]["confidence"] <= 1.0
+    partials = [m for m in msgs
+                if m["type"] == "Turn" and not m["end_of_turn"]]
+    assert all("confidence" not in p for p in partials)

@@ -23,7 +23,9 @@ Connect-URL options: ``?sample_rate=<hz>`` (input resampled to 16 k),
 ``?speakers=true`` (finals carry a ``speaker`` label, live leader
 clustering over turn ECAPA embeddings), ``?timestamps=true`` (finals
 carry AAI-format ``words`` — text/start/end in session-absolute ms via
-the ForcedAligner).
+the ForcedAligner), ``?confidence=true`` (finals carry a (0, 1]
+``confidence`` — exp of the mean chosen-token log-prob; decoded through
+the solo scored graph).
 
 so ``AssemblyAIStreamingEvaluator(base_url="ws://host:port/ws")`` evaluates
 THIS server with zero changes — the eval harness and the serving stack meet
@@ -397,7 +399,8 @@ class RealtimeServer:
         sample_rate = 16000
         tracker = None
         timestamps = False
-        try:  # ?sample_rate=...&speakers=true&timestamps=true on the URL
+        confidence = False
+        try:  # ?sample_rate=...&speakers=...&timestamps=...&confidence=...
             from urllib.parse import parse_qs, urlparse
 
             q = parse_qs(urlparse(ws.request.path).query)
@@ -408,6 +411,8 @@ class RealtimeServer:
                 tracker = OnlineSpeakerTracker()
             if q.get("timestamps", ["false"])[0].lower() in ("true", "1"):
                 timestamps = True
+            if q.get("confidence", ["false"])[0].lower() in ("true", "1"):
+                confidence = True
         except Exception:
             pass
 
@@ -429,7 +434,8 @@ class RealtimeServer:
                     audio = self._decode_pcm(msg, sample_rate)
                     total_samples += audio.size
                     turn_order = self._dispatch(
-                        ws, ep.feed(audio), turn_order, tracker, timestamps
+                        ws, ep.feed(audio), turn_order, tracker, timestamps,
+                        confidence,
                     )
                     if (
                         ep.turn_open
@@ -454,11 +460,12 @@ class RealtimeServer:
                 if cmd.get("type") == "ForceEndpoint":
                     turn_order = self._dispatch(
                         ws, ep.force_endpoint(), turn_order, tracker,
-                        timestamps,
+                        timestamps, confidence,
                     )
                 elif cmd.get("type") == "Terminate":
                     turn_order = self._dispatch(
-                        ws, ep.flush(), turn_order, tracker, timestamps
+                        ws, ep.flush(), turn_order, tracker, timestamps,
+                        confidence,
                     )
                     ws.send(json.dumps({
                         "type": "Termination",
@@ -476,7 +483,8 @@ class RealtimeServer:
 
     def _dispatch(self, ws, events: list[tuple], turn_order: int,
                   tracker: Optional[OnlineSpeakerTracker] = None,
-                  timestamps: bool = False) -> int:
+                  timestamps: bool = False,
+                  confidence: bool = False) -> int:
         for ev in events:
             if ev[0] != "final":
                 continue
@@ -484,14 +492,19 @@ class RealtimeServer:
             turn_start = ev[2] if len(ev) > 2 else 0
             # sub-150 ms turns are VAD flicker; report them empty rather
             # than spending a decode on noise
-            text = ""
+            text, conf = "", None
             if audio.size >= int(0.15 * SAMPLE_RATE):
-                text = self._transcribe(audio, blocking=True) or ""
+                if confidence:
+                    text, conf = self._transcribe_scored(audio)
+                else:
+                    text = self._transcribe(audio, blocking=True) or ""
             payload = {
                 "type": "Turn", "turn_order": turn_order,
                 "transcript": text, "end_of_turn": True,
                 "turn_is_formatted": True,
             }
+            if conf is not None:
+                payload["confidence"] = conf
             if timestamps and text:
                 payload["words"] = self._align_words(audio, text, turn_start)
             if tracker is not None and audio.size >= SAMPLE_RATE // 2:
@@ -549,6 +562,20 @@ class RealtimeServer:
             return "" if blocking else None
         finally:
             self.lock.release()
+
+    def _transcribe_scored(self, audio: np.ndarray) -> tuple[str, Optional[float]]:
+        """Final-turn decode WITH per-turn confidence (?confidence=true):
+        always the solo scored graph under the lock — the batcher's rows
+        share one unscored generate, so scored finals bypass it (they
+        still serialize on the same lock when co-hosted)."""
+        try:
+            with self.lock:
+                out = self.pipe({"array": np.asarray(audio, np.float32),
+                                 "sampling_rate": SAMPLE_RATE},
+                                return_confidence=True)
+            return out.get("text", ""), out.get("confidence")
+        except Exception:  # keep the session alive on a bad clip
+            return "", None
 
     def _transcribe_batched(self, audio: np.ndarray,
                             blocking: bool) -> Optional[str]:
