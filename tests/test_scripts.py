@@ -166,3 +166,58 @@ class TestDoctor:
         report = doc.run_doctor(probe_timeout_s=1)
         assert report["status"] == "unreachable"
         assert "timeout" in report["backend"]["error"]
+
+
+class TestBulkTranscribe:
+    def test_multi_file_batched_matches_solo(self, tmp_path, capsys):
+        """Plain multi-file transcribe coalesces through transcribe_batch
+        and must print the same text a solo call produces per file."""
+        import wave
+
+        import numpy as np
+
+        from tiny_audio_tpu.config import tiny_test_config
+        from tiny_audio_tpu.models.asr import ASRModel
+
+        model = ASRModel(tiny_test_config(model_dtype="float32"), seed=0)
+        ckpt = tmp_path / "ckpt"
+        model.save_pretrained(str(ckpt))
+        rng = np.random.default_rng(0)
+        paths = []
+        # equal lengths: the batch's audio-token count is the batch max
+        # (reference batch semantics), so only equal-length clips are
+        # token-exact vs their solo decode on a random-weight model
+        for i in range(3):
+            p = tmp_path / f"f{i}.wav"
+            pcm = (np.clip(rng.standard_normal(8000) * 0.1,
+                           -1, 1) * 32767).astype(np.int16)
+            with wave.open(str(p), "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(pcm.tobytes())
+            paths.append(str(p))
+
+        import sys as _sys
+
+        from tiny_audio_tpu.cli import main
+
+        argv, _sys.argv = _sys.argv, ["ta", "transcribe", "-m", str(ckpt),
+                                      "--json", *paths]
+        try:
+            main()
+        finally:
+            _sys.argv = argv
+        import json as _json
+
+        records = [_json.loads(ln) for ln in
+                   capsys.readouterr().out.splitlines() if ln.startswith("{")]
+        assert [r["file"] for r in records] == paths
+        from tiny_audio_tpu.pipeline import ASRPipeline
+
+        # the CLI contract is "prints the batched path's results per file"
+        # (solo-vs-batch text equivalence itself is pinned by
+        # test_pipeline.TestTranscribeBatch at non-degenerate shapes)
+        pipe = ASRPipeline(ASRModel.from_pretrained(str(ckpt)))
+        expected = pipe.transcribe_batch(paths)
+        assert [r["text"] for r in records] == expected

@@ -191,6 +191,33 @@ def _cmd_transcribe(args) -> int:
         kwargs["return_confidence"] = True
     if args.prompt:
         kwargs["user_prompt"] = args.prompt
+
+    # Bulk fast path: plain-text transcription of many files coalesces
+    # short clips into batched generate calls (decode is weight-read-bound;
+    # N files share one weight pass instead of paying it N times).  Any
+    # per-file option (timestamps/speakers/confidence/subtitles) keeps the
+    # one-at-a-time path below.
+    if len(args.files) > 1 and set(kwargs) <= {"user_prompt"}:
+        loaded = [pipe.extract_audio(p) for p in args.files]
+        limit = int(pipe.MAX_CHUNK_SECONDS * 16000)
+        texts: list = [None] * len(loaded)
+        short = [i for i, a in enumerate(loaded)
+                 if len(a["array"]) <= limit]
+        if short:
+            outs = pipe.transcribe_batch(
+                [loaded[i] for i in short], **kwargs
+            )
+            for i, t in zip(short, outs):
+                texts[i] = t
+        for i, a in enumerate(loaded):  # long-form files go solo
+            if texts[i] is None:
+                texts[i] = pipe(a, **kwargs)["text"]
+        for path, t in zip(args.files, texts):
+            # TSV cells must stay one-line; --json preserves exact text
+            print(json.dumps({"file": path, "text": t}) if args.as_json
+                  else f"{path}\t{' '.join(t.split())}")
+        return 0
+
     for path in args.files:
         result = pipe(path, **kwargs)
         if args.srt or args.vtt:
@@ -203,7 +230,8 @@ def _cmd_transcribe(args) -> int:
         elif args.as_json:
             print(json.dumps({"file": path, **result}))
         elif len(args.files) > 1:
-            print(f"{path}\t{result['text']}")
+            # TSV cells must stay one-line; --json preserves exact text
+            print(f"{path}\t{' '.join(result['text'].split())}")
         else:
             print(result["text"])
     return 0
