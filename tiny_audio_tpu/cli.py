@@ -74,8 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
     srv.add_argument("--engine", choices=("dynamic", "continuous", "none"),
                      default="dynamic",
                      help="short-clip batching: coalesced uniform batches "
-                          "(dynamic) or slot-based mid-flight joins "
-                          "(continuous)")
+                          "(dynamic, recommended) or slot-based mid-flight "
+                          "joins (continuous — EXPERIMENTAL: measured on "
+                          "this rig it loses badly on default ASR traffic, "
+                          "open-loop p50 22 s vs 0.77 s dynamic; its premise "
+                          "is low per-dispatch host cost, unverified here — "
+                          "docs/performance.md)")
     srv.add_argument("--tp", type=int, default=1,
                      help="tensor-parallel degree: shard the towers over "
                           "tp chips (token-exact vs single-device)")

@@ -246,7 +246,11 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
       coalesce arrivals into uniform batched generate calls.
     - ``"continuous"`` — :class:`~tiny_audio_tpu.continuous
       .ContinuousEngine`: slot-based decode; requests join mid-flight,
-      finished rows free immediately (lower p99 under mixed-length load).
+      finished rows free immediately.  EXPERIMENTAL: it steps decode from
+      the host (one sync dispatch per token, measured p50 29.5 ms on this
+      rig) and loses badly on measured ASR traffic (open-loop p50 22 s vs
+      0.77 s for dynamic — docs/performance.md); viable only where the
+      sync dispatch round-trip is far below the ~7.6 ms decode step.
       Falls back to ``dynamic`` when the model's generation config is not
       the greedy serving default.
     - ``"none"`` — lock-serialized solo path only.
