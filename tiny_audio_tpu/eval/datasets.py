@@ -129,8 +129,12 @@ def _synthetic_conversation_rows(n: int, seed: int) -> list[dict]:
     """Formant-synthesized multi-speaker conversations with EXACT reference
     segments, cycling a condition grid: clean 2/3-speaker turn-taking,
     white-noise SNR 15 dB, reverberant far-field, and overlapped turns —
-    the offline DER benchmark (VERDICT r2 #3; reference conditions are the
-    CallHome-style corpora its evaluator targets,
+    plus a HARD tier (VERDICT r3 #3: the easy grid saturated at 0.19% DER,
+    below the level where regressions are visible): close-voice pairs with
+    small f0/vocal-tract deltas, 40% overlap, sub-second turns, 6 speakers,
+    and far-field + 8 dB noise, targeting a 5–20% DER operating range —
+    the offline DER benchmark (reference conditions are the CallHome-style
+    corpora its evaluator targets,
     ``/root/reference/scripts/eval/evaluators/diarization.py:15-111``)."""
     import numpy as np
 
@@ -142,18 +146,33 @@ def _synthetic_conversation_rows(n: int, seed: int) -> list[dict]:
         {"label": "noisy-2spk", "n_speakers": 2, "snr_db": 15.0},
         {"label": "reverb-2spk", "n_speakers": 2, "reverb": True},
         {"label": "overlap-2spk", "n_speakers": 2, "overlap_prob": 0.35},
+        # ---- hard tier
+        {"label": "hard-close-2spk", "n_speakers": 2,
+         "voices": [(118.0, 1.0), (126.0, 1.03)]},
+        {"label": "hard-overlap40-2spk", "n_speakers": 2,
+         "overlap_prob": 0.8, "overlap_s": (0.5, 1.5)},
+        {"label": "hard-short-turns-3spk", "n_speakers": 3,
+         "turn_s": (0.4, 1.0), "gap_s": (0.1, 0.3)},
+        {"label": "hard-6spk", "n_speakers": 6, "duration_s": 36.0},
+        {"label": "hard-farfield-3spk", "n_speakers": 3, "reverb": True,
+         "rt60": 0.9, "snr_db": 8.0},
     ]
     rows = []
     for i in range(n):
         cond = conditions[i % len(conditions)]
         rng = np.random.default_rng(seed * 1000 + i)
         audio, segments, _ = synth_conversation(
-            duration_s=24.0, n_speakers=cond["n_speakers"],
+            duration_s=cond.get("duration_s", 24.0),
+            n_speakers=cond["n_speakers"],
             seed=seed * 1000 + i,
             overlap_prob=cond.get("overlap_prob", 0.0),
+            overlap_s=cond.get("overlap_s", (0.2, 0.8)),
+            turn_s=cond.get("turn_s", (1.5, 4.0)),
+            gap_s=cond.get("gap_s", (0.3, 1.0)),
+            voices=cond.get("voices"),
         )
         if cond.get("reverb"):
-            rt60, drr_db = 0.6, 0.0
+            rt60, drr_db = cond.get("rt60", 0.6), 0.0
             t = np.arange(int(rt60 * SAMPLE_RATE)) / SAMPLE_RATE
             tail = rng.standard_normal(len(t)).astype(np.float32) * np.exp(
                 -6.9 * t / rt60

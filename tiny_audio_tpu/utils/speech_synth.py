@@ -176,21 +176,27 @@ def synth_conversation(
     gap_s: tuple[float, float] = (0.3, 1.0),
     overlap_prob: float = 0.0,
     overlap_s: tuple[float, float] = (0.2, 0.8),
+    voices: "list[tuple[float, float]] | None" = None,
 ) -> tuple[np.ndarray, list[dict], np.ndarray]:
     """Alternating-turn multi-speaker audio.
 
     Returns ``(audio, segments, speech_mask)`` where ``segments`` is
     ``[{"speaker": int, "start": s, "end": s}]`` per turn (diarization ground
     truth) and ``speech_mask`` is the sample-level VAD ground truth.
-    Speakers get distinct (f0, vocal-tract) settings.  With ``overlap_prob``
-    a turn may start before the previous one ends (interruption-style
-    overlapped speech, summed).
+    Speakers get distinct (f0, vocal-tract) settings — override with
+    ``voices`` (list of ``(f0_hz, vocal_tract_scale)``, one per speaker) to
+    make the separation task arbitrarily hard (close-voice pairs).  With
+    ``overlap_prob`` a turn may start before the previous one ends
+    (interruption-style overlapped speech, summed).
     """
     rng = np.random.default_rng(seed)
-    voices = [
-        (110.0 + 55.0 * i / max(n_speakers - 1, 1), 1.0 + 0.12 * i)
-        for i in range(n_speakers)
-    ]
+    if voices is None:
+        voices = [
+            (110.0 + 55.0 * i / max(n_speakers - 1, 1), 1.0 + 0.12 * i)
+            for i in range(n_speakers)
+        ]
+    if len(voices) != n_speakers:
+        raise ValueError(f"{len(voices)} voices for {n_speakers} speakers")
     n_total = int(duration_s * sr)
     audio = np.zeros(n_total, np.float32)
     mask = np.zeros(n_total, bool)
