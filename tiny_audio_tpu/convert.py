@@ -360,9 +360,19 @@ def convert_checkpoint(
             load_state_dict(encoder_path), config.encoder, dtype=dtype
         )
     if decoder_path:
-        model.params["decoder"] = convert_hf_qwen3(
+        converted = convert_hf_qwen3(
             load_state_dict(decoder_path), config.decoder, dtype=dtype
         )
+        if config.use_lora:
+            # HF base checkpoints carry no adapters (the reference attaches
+            # PEFT ones post-load, asr_modeling.py:256-270); keep the model's
+            # freshly-initialized LoRA leaves or the tree no longer matches
+            # the module and apply() fails.
+            from tiny_audio_tpu.models.asr import merge_lora, split_lora
+
+            _, lora_fresh = split_lora(model.params["decoder"])
+            converted = merge_lora(converted, lora_fresh)
+        model.params["decoder"] = converted
     if projector_path:
         model.params["projector"] = convert_reference_projector(
             load_state_dict(projector_path), config.projector_type
