@@ -11,8 +11,8 @@ stop earlier, so this is a conservative bound).
 
 Baseline: the reference (torch, single A40) publishes no RTF numbers
 (BASELINE.md).  We estimate its A40 batch-1 pipeline at ~20x realtime for 30 s
-clips (0.6B greedy decode of 128 tokens at the A40's ~700 GB/s memory
-ceiling plus encoder prefill); the driver target is >=5x A40 per chip,
+clips — full bandwidth/FLOP derivation in BASELINE.md ("Derivation of the
+A40 RTFx estimate"); the driver target is >=5x A40 per chip,
 so ``vs_baseline = rtfx / (5 * 20)`` — 1.0 means the 5x target is met.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
