@@ -89,3 +89,42 @@ def test_encoder_module_cpu_path_unchanged():
     )
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
     assert np.isfinite(np.asarray(h1)).all()
+
+
+def test_extreme_scores_inside_window():
+    """The constant-shift softmax must stay exact across its documented
+    domain: row maxima up to ~SOFTMAX_CLAMP and rows whose max sits far
+    below zero (fp32 exp absorbs ~87 nats under the shift)."""
+    b, t, h, d = 1, 256, 2, 64
+    rng = np.random.default_rng(2)
+    # scale q so scores reach ~ +-8*sqrt(d)/sqrt(d)*8 ~ +-64: near the clamp
+    q = jnp.asarray(8.0 * rng.standard_normal((b, t, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, h * d)).astype(np.float32))
+    mask = np.ones((b, t), np.int32)
+    got = encoder_attention_tpu(q, k, v, jnp.asarray(mask), num_heads=h,
+                                interpret=True)
+    expected = _oracle(q, k, v, jnp.asarray(mask), h, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-3)
+    # strongly negative rows: shift q so maxima land ~ -30
+    q2 = q - 4.0
+    got2 = encoder_attention_tpu(q2, k, v, jnp.asarray(mask), num_heads=h,
+                                 interpret=True)
+    expected2 = _oracle(q2, k, v, jnp.asarray(mask), h, d)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(expected2), atol=2e-3)
+
+
+def test_fully_masked_row_returns_zeros_not_nan():
+    """A zero-length batch entry (kv_mask all 0) hits the denominator
+    guard: output is exactly 0 — the documented degraded mode (the naive
+    oracle returns mean(v) there; those rows are padding and sliced off
+    downstream, but they must never be NaN/Inf)."""
+    b, t, h, d = 2, 256, 2, 64
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((b, t, h * d)).astype(np.float32))
+    mask = np.ones((b, t), np.int32)
+    mask[1, :] = 0
+    out = np.asarray(encoder_attention_tpu(x, x, x, jnp.asarray(mask),
+                                           num_heads=h, interpret=True))
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out[1], np.zeros_like(out[1]))

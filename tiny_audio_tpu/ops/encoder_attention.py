@@ -7,16 +7,21 @@ kernel instead:
 
 - consumes q/k/v exactly as the QKV projection produces them
   ([B, T, H*D]) — zero layout changes;
-- computes the full [BQ, T] score tile in VMEM with ONE softmax pass
-  (the encoder's 1536-frame window fits; no online-softmax running stats);
+- computes the full [BQ, T] score tile in VMEM with a single
+  constant-shift softmax (the encoder's 1536-frame window fits; no
+  online-softmax running stats, no per-row max pass) and folds the
+  normalizing divide into the [BQ, D] output;
 - grids over (batch, head-groups, q-tiles) with HG heads per program to
   stay under the VMEM budget.
 
-Measured on v5e (32-layer GLM-ASR-class encoder, B=8 x 1536 frames):
+Measured on v5e (32-layer GLM-ASR-class encoder): B=8 x 1536 frames
 191 ms with the library flash kernel -> 164 ms (attention portion
-93 -> 66 ms).  Dispatched from :func:`tiny_audio_tpu.ops.attention.
-encoder_self_attention` on TPU; the XLA naive path remains the CPU/test
-fallback and the numerical oracle (tests/test_encoder_attention.py).
+93 -> 66 ms); the constant-shift + folded-divide softmax then cuts the
+per-layer kernel 7.24 -> 5.63 ms at B=32 (scripts/
+bench_encoder_attention.py, fp64-oracle parity table).  Dispatched from
+:func:`tiny_audio_tpu.ops.attention.encoder_self_attention` on TPU; the
+XLA naive path remains the CPU/test fallback and the numerical oracle
+(tests/test_encoder_attention.py).
 """
 
 from __future__ import annotations
@@ -55,6 +60,18 @@ def _heads_per_group(t_pad: int, d: int, h: int) -> int:
     return 1
 
 
+# Constant-shift softmax domain (see _kernel): exact softmax whenever a
+# row's true max score lies in [SOFTMAX_SHIFT - 87, SOFTMAX_CLAMP] — the
+# low end is fp32 exp underflow (e^-87), the high end the overflow clamp.
+# Encoder scores are LayerNorm'd q·k/sqrt(d), observed |s| <~ 30 on real
+# checkpoints; the window carries >4x margin on both sides.  Outside it the
+# kernel degrades gracefully: rows above the clamp flatten toward the
+# clamped entries, rows fully below the window return 0 (denominator
+# guard), never NaN/Inf.
+SOFTMAX_SHIFT = 48.0
+SOFTMAX_CLAMP = 80.0
+
+
 def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, hg: int, d: int):
     mask = mask_ref[0] > 0  # [1, T]
     for h in range(hg):
@@ -67,11 +84,24 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, hg: int, d: int):
             preferred_element_type=jnp.float32,
         ) * (d ** -0.5)
         s = jnp.where(mask, s, MASK_VALUE)
-        p = jax.nn.softmax(s, axis=-1)
-        o_ref[0, :, sl] = jax.lax.dot_general(
+        # Constant-shift softmax with the divide folded into the output:
+        # exp(min(s, CLAMP) - SHIFT) is pure elementwise (no per-row max
+        # reduce, no [BQ, 1] -> [BQ, T] broadcast), and normalizing the
+        # [BQ, d] output instead of the [BQ, T] probability tile divides
+        # T/d = 24x fewer elements.  Measured 7.24 -> 5.63 ms/layer-call
+        # (B=32, T=1536, hg=10) with max error vs an fp64 oracle of
+        # 1.49e-3 vs the fp32-softmax version's 1.39e-3 — both dominated
+        # by the bf16 cast of p.  Masked columns sit at MASK_VALUE and
+        # underflow to exactly 0.  (A per-tile-max variant that would be
+        # exact for any input crashes the Mosaic compiler at this shape;
+        # see scripts/bench_encoder_attention.py.)
+        p = jnp.exp(jnp.minimum(s, SOFTMAX_CLAMP) - SOFTMAX_SHIFT)
+        denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
+        o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+        ) / denom
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
 def _naive_packed(q, k, v, kv_mask, num_heads):
