@@ -21,7 +21,11 @@ Run on the default (TPU) env:  python scripts/bench_realtime.py
 Env knobs: TA_BENCH_RT_SESSIONS (default 4), TA_BENCH_RT_SPEECH_S (default
 4), TA_BENCH_RT_BATCHER=1 (coalesce turn decodes through the dynamic
 batcher — the high-session-count mode; warms the batch-row graphs for the
-session-length bucket instead of the full solo grid).
+session-length bucket instead of the full solo grid),
+TA_BENCH_RT_SOAK_S=<seconds> (soak mode: ONE long-lived session cycling
+speech/silence turns for that long; reports per-cycle endpoint-latency
+drift first-vs-last quarter and process RSS growth — the leak detector
+VERDICT r3 asked for).
 """
 
 from __future__ import annotations
@@ -115,6 +119,88 @@ def run_session(port: int, seed: int, speech_s: float, out: dict) -> None:
             out["endpoint_latency_s"] = closing[0] - t_last_speech
 
 
+def _rss_mb() -> float:
+    """This process's resident set (server runs in-process)."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return float("nan")
+
+
+def run_soak_session(port: int, seconds: float, speech_s: float,
+                     out: dict) -> None:
+    """One long-lived session: repeated speech/silence cycles at real-time
+    pace for ``seconds``; records per-cycle endpoint latency + RSS so drift
+    (leaking per-session state, growing latency) is visible."""
+    from websockets.sync.client import connect
+
+    chunk = int(CHUNK_S * 16000)
+    events = []
+    latencies, rss, cycle_walls = [], [], []
+
+    with connect(f"ws://127.0.0.1:{port}/?sample_rate=16000",
+                 ping_interval=None) as ws:
+        done = threading.Event()
+
+        def reader():
+            try:
+                while True:
+                    msg = json.loads(ws.recv(timeout=300))
+                    events.append((time.time(), msg))
+                    if msg["type"] == "Termination":
+                        break
+            except Exception:
+                pass
+            done.set()
+
+        threading.Thread(target=reader, daemon=True).start()
+
+        t_end = time.time() + seconds
+        next_t = time.time()
+        cycle = 0
+        while time.time() < t_end:
+            audio, _, last_chunk = build_session_audio(100 + cycle, speech_s)
+            pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+            t_last_speech = None
+            for i in range(0, len(pcm), chunk * 2):
+                ws.send(pcm[i: i + chunk * 2])
+                if i // (chunk * 2) == last_chunk:
+                    t_last_speech = time.time()
+                next_t += CHUNK_S
+                delay = next_t - time.time()
+                if delay > 0:
+                    time.sleep(delay)
+            # wait (paced, keep feeding silence) until this cycle's final
+            silence = bytes(chunk * 2)
+            deadline = time.time() + 60
+            got = None
+            while time.time() < deadline:
+                got = next((t for t, m in events
+                            if m["type"] == "Turn" and m["end_of_turn"]
+                            and t_last_speech and t >= t_last_speech), None)
+                if got is not None:
+                    break
+                ws.send(silence)
+                next_t += CHUNK_S
+                delay = next_t - time.time()
+                if delay > 0:
+                    time.sleep(delay)
+            if got is not None and t_last_speech is not None:
+                latencies.append(got - t_last_speech)
+            rss.append(_rss_mb())
+            cycle_walls.append(time.time())
+            cycle += 1
+        ws.send(json.dumps({"type": "Terminate"}))
+        done.wait(timeout=60)
+
+    out["latencies"] = latencies
+    out["rss_mb"] = rss
+    out["cycles"] = cycle
+    out["finals"] = sum(1 for _, m in events
+                        if m["type"] == "Turn" and m["end_of_turn"])
+
+
 def main() -> None:
     from tiny_audio_tpu.utils.compile_cache import (
         enable_persistent_compile_cache,
@@ -175,6 +261,38 @@ def main() -> None:
         batcher=batcher,
     ).start()
 
+    soak_s = float(os.environ.get("TA_BENCH_RT_SOAK_S", "0"))
+    if soak_s > 0:
+        out: dict = {}
+        rss0 = _rss_mb()
+        run_soak_session(server.port, soak_s, speech_s, out)
+        server.shutdown()
+        lat = out.get("latencies", [])
+        rss = out.get("rss_mb", [])
+        q = max(len(lat) // 4, 1)
+        print(json.dumps({
+            "metric": "realtime_ws_soak_endpoint_latency_p50",
+            "value": round(float(np.median(lat)), 3) if lat else None,
+            "unit": "s",
+            "extra": {
+                "soak_s": soak_s,
+                "cycles": out.get("cycles"),
+                "finals": out.get("finals"),
+                "latency_first_quarter_p50_s":
+                    round(float(np.median(lat[:q])), 3) if lat else None,
+                "latency_last_quarter_p50_s":
+                    round(float(np.median(lat[-q:])), 3) if lat else None,
+                "latency_max_s": round(float(np.max(lat)), 3) if lat else None,
+                "rss_start_mb": round(rss0, 1),
+                "rss_first_cycle_mb": round(rss[0], 1) if rss else None,
+                "rss_last_cycle_mb": round(rss[-1], 1) if rss else None,
+                "rss_max_mb": round(float(np.max(rss)), 1) if rss else None,
+                "warmup_s": round(warmup_s, 1),
+                "backend": jax.default_backend(),
+            },
+        }), flush=True)
+        os._exit(0)
+
     results = [dict() for _ in range(n_sessions)]
     threads = [
         threading.Thread(target=run_session,
@@ -202,6 +320,8 @@ def main() -> None:
             "speech_s_per_session": speech_s,
             "all_sessions_got_finals": ok,
             "endpoint_latency_p95_s": round(float(np.percentile(ep, 95)), 3)
+            if ep else None,
+            "endpoint_latency_p99_s": round(float(np.percentile(ep, 99)), 3)
             if ep else None,
             "first_partial_p50_s": round(float(np.median(fp)), 3)
             if fp else None,

@@ -23,11 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="runs/convergence")
+    ap.add_argument("--n-train", type=int, default=384)
     ap.add_argument("--ctc-steps", type=int, default=2000)
     ap.add_argument("--warmup-steps", type=int, default=600)
     ap.add_argument("--s1-steps", type=int, default=500)
     ap.add_argument("--s2-steps", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--save-encoder", default=None,
+                    help="save the CTC-pretrained encoder (msgpack) here — "
+                    "feeds tests/test_convergence_gate.py")
     args = ap.parse_args()
 
     import jax
@@ -39,11 +43,13 @@ def main() -> None:
 
     rec = run_convergence_ladder(
         args.out,
+        n_train=args.n_train,
         ctc_steps=args.ctc_steps,
         warmup_steps=args.warmup_steps,
         s1_steps=args.s1_steps,
         s2_steps=args.s2_steps,
         seed=args.seed,
+        save_encoder_path=args.save_encoder,
     )
     print(json.dumps(
         {k: rec[k] for k in (

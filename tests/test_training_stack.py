@@ -297,6 +297,9 @@ class TestTrainerLoop:
         return trainer
 
     def test_loss_decreases_and_artifacts(self, tmp_path):
+        # NB: 6 steps is a smoke gate for the loop mechanics; the REAL
+        # "does the stack learn" gate is tests/test_convergence_gate.py
+        # (held-out WER through the staging ladder).
         trainer = self._setup(tmp_path, max_steps=6)
         result = trainer.train()
         assert result["final_step"] == 6
@@ -305,7 +308,10 @@ class TestTrainerLoop:
             json.loads(line)
             for line in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
         ]
-        assert metrics[0]["loss"] > metrics[-1].get("loss", metrics[0]["loss"]) - 5
+        losses = [m["loss"] for m in metrics if "loss" in m]
+        # the first optimizer steps on a fresh model must strictly reduce
+        # the training loss (deterministic: pinned seeds, CPU)
+        assert losses[-1] < losses[0], losses
         assert (tmp_path / "run" / "model" / "projector.msgpack").exists()
 
     def test_resume_continues(self, tmp_path):

@@ -181,6 +181,30 @@ def pretrain_encoder_ctc(
     return {"curve": curve, "token_error_rate": ter}
 
 
+def save_pretrained_encoder(model, path: str) -> None:
+    """Serialize the CTC-pretrained encoder params (msgpack) so the slow
+    convergence gate test can skip the ~15 min CTC phase and start the
+    staging ladder from a tower that already separates speech sounds —
+    the same premise the reference gets from its pretrained whisper/GLM
+    checkpoint."""
+    import flax.serialization
+
+    Path(path).write_bytes(
+        flax.serialization.msgpack_serialize(model.params["encoder"])
+    )
+
+
+def load_pretrained_encoder(model, path: str) -> None:
+    """Restore encoder params saved by :func:`save_pretrained_encoder`."""
+    import flax.serialization
+
+    restored = flax.serialization.msgpack_restore(Path(path).read_bytes())
+    # template-restore keeps dtypes/structure honest vs the live tree
+    model.params["encoder"] = flax.serialization.from_state_dict(
+        model.params["encoder"], restored
+    )
+
+
 def _wer_eval(model, rows: list[dict], max_new_tokens: int = 48) -> float:
     """Held-out corpus WER via the real pipeline greedy-decode path."""
     from tiny_audio_tpu.eval.normalizer import TextNormalizer
@@ -209,6 +233,66 @@ def _unshard(model) -> None:
     model.params = jax.device_get(model.params)
 
 
+def train_stage(
+    model,
+    collator,
+    train_rows: list[dict],
+    eval_rows: list[dict],
+    out_dir: str,
+    steps: int,
+    lr: float,
+    batch: int = 8,
+    seed: int = 0,
+    verbose: bool = True,
+) -> dict:
+    """One staging-ladder phase through the REAL Trainer (which freezes
+    parameter groups per ``model.config``); returns the trainer result
+    plus the logged loss curve and wall seconds."""
+    import jax
+
+    from tiny_audio_tpu.train.optim import OptimizerConfig
+    from tiny_audio_tpu.train.trainer import Trainer, TrainingConfig
+
+    run_dir = Path(out_dir)
+    cfg = TrainingConfig(
+        output_dir=str(run_dir),
+        max_steps=steps,
+        per_device_batch_size=max(batch // jax.device_count(), 1),
+        logging_steps=max(steps // 10, 1),
+        save_steps=steps,
+        save_total_limit=1,
+        eval_steps=0,
+        dataloader_workers=0,
+        optimizer=OptimizerConfig(
+            learning_rate=lr, decoder_learning_rate=lr,
+            warmup_steps=min(20, steps // 5),
+            lr_scheduler_type="cosine", total_steps=steps,
+        ),
+        seed=seed,
+    )
+    t0 = time.time()
+    trainer = Trainer(model, cfg, train_rows, collator, eval_dataset=eval_rows)
+    result = trainer.train()
+    _unshard(model)
+    curve = [
+        (rec["step"], rec["loss"])
+        for rec in map(
+            json.loads, (run_dir / "metrics.jsonl").read_text().splitlines()
+        )
+        if "loss" in rec
+    ]
+    result["seconds"] = time.time() - t0
+    result["curve"] = curve
+    if verbose:
+        print(
+            f"[convergence] {run_dir.name}: {steps} steps in "
+            f"{result['seconds']:.0f}s, loss {curve[0][1]:.3f} -> "
+            f"{curve[-1][1]:.3f}, "
+            f"eval_loss {result.get('eval_loss', float('nan')):.3f}"
+        )
+    return result
+
+
 def run_convergence_ladder(
     out_dir: str,
     vocab: "list[str] | None" = None,
@@ -227,6 +311,7 @@ def run_convergence_ladder(
     words_per_utt: tuple[int, int] = (2, 4),
     seed: int = 0,
     verbose: bool = True,
+    save_encoder_path: "str | None" = None,
 ) -> dict:
     """Run the 4-phase ladder; returns (and writes ``convergence.json``)::
 
@@ -234,13 +319,9 @@ def run_convergence_ladder(
          "eval_loss_warmup": ..., "eval_loss_s1": ..., "eval_loss_s2": ...,
          "phase_seconds": {...}, "curves": {phase: [(step, loss), ...]}}
     """
-    import dataclasses
-
     from tiny_audio_tpu.config import tiny_test_config
     from tiny_audio_tpu.models.asr import ASRModel, merge_lora, split_lora
     from tiny_audio_tpu.train.collator import DataCollator
-    from tiny_audio_tpu.train.optim import OptimizerConfig
-    from tiny_audio_tpu.train.trainer import Trainer, TrainingConfig
     from tiny_audio_tpu.utils.speech_synth import labeled_speech_dataset
 
     vocab = vocab or [
@@ -270,46 +351,11 @@ def run_convergence_ladder(
         system_prompt=model.config.system_prompt,
     )
 
-    import jax
-
-    per_device = max(batch // jax.device_count(), 1)
-
     def _phase(name: str, rows, steps: int, lr: float) -> dict:
-        run_dir = out / name
-        cfg = TrainingConfig(
-            output_dir=str(run_dir),
-            max_steps=steps,
-            per_device_batch_size=per_device,
-            logging_steps=max(steps // 10, 1),
-            save_steps=steps,
-            save_total_limit=1,
-            eval_steps=0,
-            dataloader_workers=0,
-            optimizer=OptimizerConfig(
-                learning_rate=lr, decoder_learning_rate=lr,
-                warmup_steps=min(20, steps // 5),
-                lr_scheduler_type="cosine", total_steps=steps,
-            ),
-            seed=seed,
+        return train_stage(
+            model, collator, rows, speech_eval[:16], str(out / name),
+            steps, lr, batch=batch, seed=seed, verbose=verbose,
         )
-        t0 = time.time()
-        trainer = Trainer(model, cfg, rows, collator, eval_dataset=speech_eval[:16])
-        result = trainer.train()
-        _unshard(model)
-        curve = [
-            (rec["step"], rec["loss"])
-            for rec in map(json.loads, (run_dir / "metrics.jsonl").read_text().splitlines())
-            if "loss" in rec
-        ]
-        result["seconds"] = time.time() - t0
-        result["curve"] = curve
-        if verbose:
-            print(
-                f"[convergence] {name}: {steps} steps in {result['seconds']:.0f}s, "
-                f"loss {curve[0][1]:.3f} -> {curve[-1][1]:.3f}, "
-                f"eval_loss {result.get('eval_loss', float('nan')):.3f}"
-            )
-        return result
 
     # ---- phase -1: encoder CTC pretrain (the "pretrained tower" premise)
     t0 = time.time()
@@ -318,6 +364,8 @@ def run_convergence_ladder(
         steps=ctc_steps, batch=16, lr=ctc_lr, seed=seed, verbose=verbose,
     )
     ctc["seconds"] = time.time() - t0
+    if save_encoder_path:
+        save_pretrained_encoder(model, save_encoder_path)
 
     wer_init = _wer_eval(model, speech_eval)
     if verbose:
