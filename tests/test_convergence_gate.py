@@ -86,6 +86,26 @@ def test_staging_ladder_reduces_heldout_wer(tmp_path):
     # stage 1: towers frozen, projector-only (the reference's $12 recipe)
     model.config.freeze_language_model = True
     model.config.freeze_projector = False
+
+    # NEGATIVE control first (VERDICT r4 item 5): the r4 gate passed even
+    # with a dead stage-1 projector path because warmup did all the lifting
+    # (1.12 -> 0.39 vs stage 1's 0.39 -> 0.36).  Simulate the dead path —
+    # stage-1 training that updates nothing (lr=0) — and assert the strict
+    # marginal gate below would FAIL on it.  Params snapshot/restore keeps
+    # the real stage-1 run untouched.
+    import jax
+
+    snapshot = jax.device_get(model.params)
+    dead = train_stage(
+        model, collator, train_rows, eval_rows[:16],
+        str(tmp_path / "stage1_dead"), steps=40, lr=0.0, seed=0,
+    )
+    assert not (dead["eval_loss"] < warm["eval_loss"]), (
+        "a zero-LR stage 1 must not pass the strict marginal gate",
+        warm["eval_loss"], dead["eval_loss"],
+    )
+    model.params = snapshot
+
     s1 = train_stage(
         model, collator, train_rows, eval_rows[:16],
         str(tmp_path / "stage1"), steps=300, lr=1e-3, seed=0,
@@ -99,5 +119,9 @@ def test_staging_ladder_reduces_heldout_wer(tmp_path):
         f"held-out WER did not materially improve: init {wer_init:.3f} -> "
         f"stage1 {wer_s1:.3f}"
     )
-    # held-out teacher-forced loss must also improve across the stages
-    assert s1["eval_loss"] < warm["eval_loss"] * 1.05, (warm, s1)
+    # stage 1's MARGINAL contribution: held-out teacher-forced loss must
+    # STRICTLY improve over the warmup decoder (full ladder measures
+    # 0.040 < 0.047 — docs/training.md).  A dead projector-gradient path
+    # leaves eval_loss exactly at the warmup value and fails here (the
+    # negative control above pins that).
+    assert s1["eval_loss"] < warm["eval_loss"], (warm, s1)

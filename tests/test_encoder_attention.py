@@ -128,3 +128,34 @@ def test_fully_masked_row_returns_zeros_not_nan():
                                            num_heads=h, interpret=True))
     assert np.isfinite(out).all()
     np.testing.assert_array_equal(out[1], np.zeros_like(out[1]))
+
+
+# ----------------------------------------------- window calibration (ADVICE)
+
+
+def test_calibration_window_accepts_normal_and_flags_hot(tiny_config):
+    """debug.calibrate_attention_window must pass a freshly-initialized
+    checkpoint (scores well inside the constant-shift window) and flag a
+    'hot' one whose attention logits exceed SOFTMAX_CLAMP — the guard that
+    protects the TPU kernel's domain assumption on imported checkpoints."""
+    import jax.numpy as jnp
+
+    from tiny_audio_tpu.debug import calibrate_attention_window
+    from tiny_audio_tpu.models.asr import ASRModel
+
+    model = ASRModel(tiny_config, seed=0)
+    report = calibrate_attention_window(model, seconds=0.5)
+    assert report["ok"], report
+    assert len(report["per_layer"]) == tiny_config.encoder.num_layers
+    assert report["window"][0] < report["row_max_lo"]
+    assert report["row_max_hi"] < report["window"][1]
+
+    # heat the q projection: scores scale linearly with W_q, so x1e4 blows
+    # a ~O(1) row max far past the +80 clamp
+    enc = model.params["encoder"]
+    enc["layers"]["q_proj"]["kernel"] = (
+        enc["layers"]["q_proj"]["kernel"].astype(jnp.float32) * 1e4
+    ).astype(model.dtype)
+    hot = calibrate_attention_window(model, seconds=0.5)
+    assert not hot["ok"], hot
+    assert hot["row_max_hi"] > report["window"][1]

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 from pathlib import Path
 from typing import Optional
 
@@ -409,6 +410,30 @@ def convert_checkpoint(
             out.mkdir(parents=True, exist_ok=True)
             (out / "ecapa_embedder.msgpack").write_bytes(
                 serialization.to_bytes(embedder.params)
+            )
+
+    if encoder_path and os.environ.get("TA_SKIP_ATTN_CALIBRATION") != "1":
+        # The TPU encoder-attention kernel's constant-shift softmax is exact
+        # only for row-max scores in its fixed window — a property of the
+        # CHECKPOINT (observed |s| <~ 30 on the shipped family, >4x margin).
+        # Calibrate every imported encoder here so a hotter checkpoint fails
+        # loudly at import instead of silently flattening rows on TPU.
+        from tiny_audio_tpu.debug import calibrate_attention_window
+
+        report = calibrate_attention_window(model)
+        logger.info(
+            "encoder attention row-max scores in [%.1f, %.1f] "
+            "(kernel window [%.0f, %.0f])",
+            report["row_max_lo"], report["row_max_hi"], *report["window"],
+        )
+        if not report["ok"]:
+            logger.warning(
+                "imported encoder's attention scores FALL OUTSIDE the "
+                "constant-shift softmax window [%.0f, %.0f] (observed "
+                "[%.1f, %.1f]) — the TPU kernel would be inexact for this "
+                "checkpoint; set TA_FORCE_FLASH=1 to dispatch the exact "
+                "library flash kernel instead",
+                *report["window"], report["row_max_lo"], report["row_max_hi"],
             )
 
     if output_dir:

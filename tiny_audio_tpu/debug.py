@@ -108,6 +108,80 @@ def check_router_health(model, audio: Optional[np.ndarray] = None,
     return router_stats(probs)
 
 
+# ----------------------------------------------- attention-window calibration
+
+
+def calibrate_attention_window(
+    model, audio: Optional[np.ndarray] = None, seconds: float = 4.0
+) -> dict:
+    """Validate the encoder against the TPU kernel's softmax window.
+
+    The Pallas encoder-attention kernel (ops/encoder_attention.py) uses a
+    constant-shift softmax that is exact only while every attention row's max
+    score lies inside ``[SOFTMAX_SHIFT - 87, SOFTMAX_CLAMP]`` — a property of
+    the CHECKPOINT, not the code.  This pass runs real/synthetic audio
+    through the encoder with per-layer score-range sowing and reports the
+    observed extremes against the window (with the margin the shipped
+    checkpoint family carries, ~4x on |s| <= 30).
+
+    Returns a dict with per-layer ``[lo, hi]`` row-max ranges, the global
+    range, the window, and ``ok``.  Called from checkpoint conversion
+    (convert.convert_checkpoint) so an imported checkpoint with hotter
+    logits fails loudly at import time instead of silently flattening rows
+    on TPU.
+    """
+    import jax.numpy as jnp
+
+    from tiny_audio_tpu.ops.encoder_attention import (
+        SOFTMAX_CLAMP,
+        SOFTMAX_SHIFT,
+    )
+
+    if audio is None:
+        rng = np.random.default_rng(0)
+        t = np.arange(int(seconds * 16000)) / 16000
+        audio = (0.2 * np.sin(2 * np.pi * 160 * t)
+                 + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+
+    from tiny_audio_tpu.models.encoder import AudioEncoder
+    from tiny_audio_tpu.processing import ASRProcessor
+
+    proc = ASRProcessor(
+        model.tokenizer, projector=model.projector,
+        num_mel_bins=model.config.encoder.num_mel_bins,
+        encoder_conv_layers=model.config.encoder_conv_layers,
+    )
+    feats = proc.extract_features(audio)
+    enc = AudioEncoder(
+        model.config.encoder, dtype=model.dtype, param_dtype=model.dtype,
+        calibrate=True,
+    )
+    _, state = enc.apply(
+        {"params": model.params["encoder"]},
+        jnp.asarray(feats["input_features"]),
+        frame_mask=jnp.asarray(feats["audio_attention_mask"]),
+        mutable=["intermediates"],
+    )
+    ranges = None
+    for path, leaf in _tree_paths(state["intermediates"]):
+        if "attn_row_max_range" in path:
+            ranges = np.asarray(
+                leaf[0] if isinstance(leaf, tuple) else leaf, np.float64
+            )  # [L, 2]
+            break
+    if ranges is None:
+        raise RuntimeError("no attn_row_max_range intermediates found")
+    window = (float(SOFTMAX_SHIFT) - 87.0, float(SOFTMAX_CLAMP))
+    lo, hi = float(ranges[:, 0].min()), float(ranges[:, 1].max())
+    return {
+        "per_layer": ranges.tolist(),
+        "row_max_lo": lo,
+        "row_max_hi": hi,
+        "window": list(window),
+        "ok": bool(window[0] <= lo and hi <= window[1]),
+    }
+
+
 # ------------------------------------------------------------- gradient flow
 
 
@@ -270,6 +344,13 @@ def add_debug_parser(subparsers) -> None:
     cb.add_argument("-b", "--base", required=True)
     cb.set_defaults(func=_cmd_compare)
 
+    aw = sp.add_parser(
+        "attn-window",
+        help="Check encoder scores fit the TPU kernel's softmax window",
+    )
+    aw.add_argument("-m", "--model", required=True)
+    aw.set_defaults(func=_cmd_attn_window)
+
 
 def _load(path):
     from tiny_audio_tpu.models.asr import ASRModel
@@ -308,6 +389,13 @@ def _cmd_weights(args) -> int:
 def _cmd_lora(args) -> int:
     _print_dict(analyze_lora(_load(args.model).params))
     return 0
+
+
+def _cmd_attn_window(args) -> int:
+    report = calibrate_attention_window(_load(args.model))
+    _print_dict({k: v for k, v in report.items() if k != "per_layer"})
+    print("OK" if report["ok"] else "OUT OF WINDOW")
+    return 0 if report["ok"] else 1
 
 
 def _cmd_compare(args) -> int:

@@ -171,14 +171,22 @@ def export_decoder_state(params: dict, cfg) -> dict:
     return sd
 
 
-def export_lora_adapter(params: dict, config) -> tuple[dict, dict]:
+def export_lora_adapter(
+    params: dict, config, base_model: str | None = None
+) -> tuple[dict, dict]:
     """Our in-tree LoRA leaves (``layers/{target}_lora_a|b``, scan-stacked)
     -> PEFT ``adapter_model.safetensors`` naming + ``adapter_config.json``.
 
     PEFT layout (what the reference's ``language_model.save_pretrained``
     emits): ``base_model.model.model.layers.{i}.self_attn.q_proj.lora_A.weight``
     with torch Linear convention — ``lora_A`` is [r, in] (our ``a`` is
-    [in, r]), ``lora_B`` is [out, r] (our ``b`` is [r, out])."""
+    [in, r]), ``lora_B`` is [out, r] (our ``b`` is [r, out]).
+
+    ``base_model`` lands in ``base_model_name_or_path``: the reference's
+    push rewrites it to the LM repo id because ``transformers.pipeline()``
+    cannot resolve the PEFT base otherwise
+    (/root/reference/tiny_audio/asr_modeling.py:796-823).  Defaults to the
+    config's ``text_model_id`` (override with a hub id when publishing)."""
     layers = params["layers"]
     targets = [t for t in config.lora_target_modules
                if f"{t}_lora_a" in layers]
@@ -198,7 +206,9 @@ def export_lora_adapter(params: dict, config) -> tuple[dict, dict]:
         "lora_dropout": float(config.lora_dropout),
         "target_modules": list(targets),
         "bias": "none",
-        "base_model_name_or_path": "",
+        "base_model_name_or_path": (
+            base_model if base_model is not None else config.text_model_id
+        ),
         "fan_in_fan_out": False,
         "inference_mode": True,
     }
@@ -259,9 +269,20 @@ def _tower_config_dicts(config) -> tuple[dict, dict]:
     return audio_cfg, text_cfg
 
 
-def export_reference_config(config) -> dict:
+def export_reference_config(
+    config,
+    audio_model_id: str | None = None,
+    text_model_id: str | None = None,
+) -> dict:
     """Reference ``ASRConfig`` PretrainedConfig-serialization dict
-    (asr_config.py:113-220 layout, incl. the HF auto-loading plumbing)."""
+    (asr_config.py:113-220 layout, incl. the HF auto-loading plumbing).
+
+    ``audio_model_id``/``text_model_id`` override the serialized tower ids:
+    in this offline setup the config's ids are local absolute paths, and the
+    reference's ``ASRModel.from_pretrained`` composes towers from these ids
+    (asr_modeling.py:203-254) — pass hub ids to make the artifact portable.
+    The nested ``audio_config``/``text_config`` dicts stay authoritative for
+    dimensions either way."""
     audio_cfg, text_cfg = _tower_config_dicts(config)
     out = {
         "model_type": "asr_model",
@@ -277,8 +298,8 @@ def export_reference_config(config) -> dict:
                 "tf": [],
             }
         },
-        "audio_model_id": config.audio_model_id,
-        "text_model_id": config.text_model_id,
+        "audio_model_id": audio_model_id or config.audio_model_id,
+        "text_model_id": text_model_id or config.text_model_id,
         "attn_implementation": "sdpa",
         "model_dtype": config.model_dtype,
         "encoder_dim": config.encoder_dim,
@@ -324,13 +345,22 @@ def export_reference_config(config) -> dict:
 # ------------------------------------------------------------------- artifact
 
 
-def export_reference_artifact(model, output_dir: str | Path) -> Path:
+def export_reference_artifact(
+    model,
+    output_dir: str | Path,
+    audio_model_id: str | None = None,
+    text_model_id: str | None = None,
+) -> Path:
     """Write ``model`` as a reference-layout HF artifact directory.
 
     What lands in ``model.safetensors`` follows the reference's trainable
     contract exactly: ``projector.*`` always; flattened ``language_model.*``
     when ``freeze_language_model=False`` (fine-tuned decoder); LoRA leaves
     as separate PEFT adapter files when ``use_lora``.
+
+    ``audio_model_id``/``text_model_id`` override the tower ids serialized
+    into ``config.json`` and the PEFT ``base_model_name_or_path`` (pass hub
+    ids when publishing; see ``export_reference_config``).
     """
     from safetensors.numpy import save_file
 
@@ -357,7 +387,7 @@ def export_reference_artifact(model, output_dir: str | Path) -> Path:
 
     if model.config.use_lora:
         adapter_sd, adapter_cfg = export_lora_adapter(
-            model.params["decoder"], model.config
+            model.params["decoder"], model.config, base_model=text_model_id
         )
         if adapter_sd:
             save_file(
@@ -369,7 +399,14 @@ def export_reference_artifact(model, output_dir: str | Path) -> Path:
             )
 
     (out / "config.json").write_text(
-        json.dumps(export_reference_config(model.config), indent=2)
+        json.dumps(
+            export_reference_config(
+                model.config,
+                audio_model_id=audio_model_id,
+                text_model_id=text_model_id,
+            ),
+            indent=2,
+        )
     )
     (out / "preprocessor_config.json").write_text(
         json.dumps(

@@ -67,6 +67,7 @@ class EncoderBlock(nn.Module):
     cfg: EncoderConfig
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x, padding_mask):
@@ -87,6 +88,30 @@ class EncoderBlock(nn.Module):
         q = dense(h * hd, "q_proj")(x).reshape(b, t, h, hd)
         k = dense(h * hd, "k_proj", bias=False)(x).reshape(b, t, h, hd)
         v = dense(h * hd, "v_proj")(x).reshape(b, t, h, hd)
+        if self.calibrate:
+            # Calibration pass for the constant-shift-softmax window of the
+            # TPU attention kernel (ops/encoder_attention.py): the kernel is
+            # exact only while every row's max score lies inside
+            # [SOFTMAX_SHIFT - 87, SOFTMAX_CLAMP].  Sow the observed row-max
+            # extremes (valid rows only) so debug.calibrate_attention_window
+            # can assert an imported checkpoint fits the window.  Matches the
+            # kernel's numerics: bf16 q/k, fp32 accumulate, 1/sqrt(d) scale.
+            s = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * (hd ** -0.5)
+            if padding_mask is not None:
+                col_ok = padding_mask.astype(bool)[:, None, None, :]
+                s = jnp.where(col_ok, s, -jnp.inf)
+            row_max = jnp.max(s, axis=-1)  # [B, H, T]
+            if padding_mask is not None:
+                row_ok = padding_mask.astype(bool)[:, None, :]
+                hi = jnp.max(jnp.where(row_ok, row_max, -jnp.inf))
+                lo = jnp.min(jnp.where(row_ok, row_max, jnp.inf))
+            else:
+                hi = jnp.max(row_max)
+                lo = jnp.min(row_max)
+            self.sow("intermediates", "attn_row_max_range",
+                     jnp.stack([lo, hi]))
         out = encoder_self_attention(q, k, v, padding_mask)
         x = dense(cfg.d_model, "out_proj")(out.reshape(b, t, -1))
         x = residual + x
@@ -103,6 +128,11 @@ class AudioEncoder(nn.Module):
     cfg: EncoderConfig
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
+    # Sow per-layer attention row-max score extremes (see EncoderBlock) —
+    # apply with mutable=["intermediates"]; used by
+    # debug.calibrate_attention_window to validate the Pallas kernel's
+    # constant-shift softmax window on imported checkpoints.
+    calibrate: bool = False
 
     @nn.compact
     def __call__(
@@ -153,15 +183,21 @@ class AudioEncoder(nn.Module):
                 jnp.arange(t_enc)[None, :] < enc_lengths[:, None]
             ).astype(jnp.int32)
 
+        variable_axes = {"params": 0}
+        if self.calibrate:
+            variable_axes["intermediates"] = 0  # stack sown ranges per layer
         block = nn.scan(
             EncoderBlock,
-            variable_axes={"params": 0},
+            variable_axes=variable_axes,
             split_rngs={"params": True},
             in_axes=(nn.broadcast,),
             out_axes=0,
             length=cfg.num_layers,
         )
-        x, _ = block(cfg, self.dtype, self.param_dtype, name="layers")(x, padding_mask)
+        x, _ = block(
+            cfg, self.dtype, self.param_dtype, calibrate=self.calibrate,
+            name="layers",
+        )(x, padding_mask)
         return LayerNorm(cfg.layer_norm_eps, name="layer_norm")(x)
 
 

@@ -163,7 +163,17 @@ def encoder_self_attention(
     (ops/encoder_attention.py, ~14% faster than the library flash kernel at
     the encoder's head_dim-64 shapes).  TA_FORCE_FLASH=1 forces the library
     flash kernel; TA_FORCE_FLASH=0 forces the naive XLA path (the on-device
-    numerical oracle); unset uses the custom kernel."""
+    numerical oracle); unset uses the custom kernel.
+
+    DOMAIN ASSUMPTION (TPU kernel only): the kernel's constant-shift softmax
+    is exact only while every attention row's max score lies in
+    ``[SOFTMAX_SHIFT - 87, SOFTMAX_CLAMP]`` = [-39, 80]
+    (ops/encoder_attention.py).  This holds with >4x margin for the shipped
+    checkpoint family (|s| <~ 30) and is VALIDATED AT IMPORT for every
+    converted encoder (convert.convert_checkpoint ->
+    debug.calibrate_attention_window; ``ta debug attn-window`` re-checks any
+    checkpoint).  A checkpoint outside the window should set
+    TA_FORCE_FLASH=1 to use the exact library kernel."""
     b, t, h, d = q.shape
     force = os.environ.get("TA_FORCE_FLASH")
     if _platform() == "tpu" and force is None:

@@ -247,7 +247,8 @@ _VOWEL_ORDER = ("a", "i", "u", "e", "o")
 
 
 def word_pronunciation(index: int) -> dict:
-    """Deterministic pronunciation for vocab ``index`` (unique for < 25):
+    """Deterministic pronunciation for vocab ``index`` (unique for <= 25
+    words — two base-5 vowel digits cover indices 0-24):
     two syllable vowels from the base-5 digits, plus a fricative onset
     (low or high band) on even indices as a redundant cue."""
     v1 = _VOWEL_ORDER[index % 5]
