@@ -125,7 +125,15 @@ def main() -> None:
     # quantization error is ~0.4% RMS).  TA_BENCH_KV=bfloat16 reverts.
     # Measured on this chip: bf16 588 RTFx / int8 646 RTFx (same TTFB).
     cfg.kv_cache_dtype = os.environ.get("TA_BENCH_KV", "int8")
+    t_init0 = time.time()
     model = ASRModel(cfg, seed=0)  # syncs kv_cache_dtype into the decoder
+    # Drain param materialization BEFORE the compile clock starts: un-drained
+    # init work queued on the device would serialize ahead of the first
+    # generate execution and get billed to compile_s (the round-4 driver
+    # bench's ~685 s "cold compile" was mostly this; init is now one jitted
+    # computation, see ASRModel.init_params).
+    jax.block_until_ready(model.params)
+    init_s = time.time() - t_init0
 
     # Serving-throughput batch: decode is weight-read-bound, so batching
     # amortizes the ~1.5 GB/step HBM weight traffic (override with
@@ -256,6 +264,9 @@ def main() -> None:
             "batch": batch,
             "wall_s_per_batch": round(wall, 3),
             "compile_s": round(compile_s, 1),
+            # param-init materialization (one jitted computation), drained
+            # before the compile clock so it can't masquerade as compile
+            "init_s": round(init_s, 1),
             # total first-trace cost across every graph this bench builds
             # (batched generate + batch-1 latency + streaming prefill/step);
             # near-zero on a warm persistent cache (~10 s deserialize)

@@ -219,22 +219,35 @@ class ASRModel:
 
     def init_params(self, seed: int = 0) -> dict:
         cfg = self.config
-        k_enc, k_dec, k_proj = jax.random.split(jax.random.PRNGKey(seed), 3)
-        mel = jnp.zeros((1, cfg.encoder.num_mel_bins, 32), self.dtype)
-        enc_vars = self.encoder.init(k_enc, mel)
-        enc_out_dim = cfg.encoder.d_model
-        embeds = jnp.zeros((1, 8, cfg.decoder.hidden_size), self.dtype)
-        positions = jnp.zeros((1, 8), jnp.int32)
-        dec_vars = self.decoder.init(k_dec, embeds, positions)
-        proj_in = jnp.zeros((1, 16, enc_out_dim), self.dtype)
-        proj_vars = self.projector.init(
-            {"params": k_proj, "jitter": k_proj, "dropout": k_proj}, proj_in, train=False
-        )
-        return {
-            "encoder": enc_vars["params"],
-            "decoder": dec_vars["params"],
-            "projector": proj_vars["params"],
-        }
+
+        # The whole init runs as ONE jitted computation.  Un-jitted, flax
+        # Module.init dispatches every primitive as its own tiny XLA
+        # program — ~200 separate compile+execute round-trips which, on a
+        # remote-tunnel TPU, serialize into minutes of first-call latency
+        # billed to whatever graph runs next (the round-4/5 driver benches'
+        # "cold compile" was mostly this queue draining, not compilation —
+        # docs/performance.md "Where the warm-boot time actually goes").
+        # One jit = one (persistently cacheable) compile + one execution.
+        def _init(key):
+            k_enc, k_dec, k_proj = jax.random.split(key, 3)
+            mel = jnp.zeros((1, cfg.encoder.num_mel_bins, 32), self.dtype)
+            enc_vars = self.encoder.init(k_enc, mel)
+            enc_out_dim = cfg.encoder.d_model
+            embeds = jnp.zeros((1, 8, cfg.decoder.hidden_size), self.dtype)
+            positions = jnp.zeros((1, 8), jnp.int32)
+            dec_vars = self.decoder.init(k_dec, embeds, positions)
+            proj_in = jnp.zeros((1, 16, enc_out_dim), self.dtype)
+            proj_vars = self.projector.init(
+                {"params": k_proj, "jitter": k_proj, "dropout": k_proj},
+                proj_in, train=False,
+            )
+            return {
+                "encoder": enc_vars["params"],
+                "decoder": dec_vars["params"],
+                "projector": proj_vars["params"],
+            }
+
+        return jax.jit(_init)(jax.random.PRNGKey(seed))
 
     # ------------------------------------------------------------- audio path
 
