@@ -173,9 +173,19 @@ def main() -> None:
         tokens = model.generate(feats, mask, mel_length=n_frames)
         return np.asarray(tokens)
 
-    # Warmup / compile
+    # Drain the first input transfer BEFORE the compile clock.  The tunnel
+    # link's throughput is wildly non-stationary (the same 46 MB first copy
+    # measured 7 s and 720 s in back-to-back processes, steady-state laps
+    # unaffected) — left inside the clock it masquerades as "cold compile"
+    # (docs/performance.md, "Where the warm-boot time actually goes").
     t0 = time.time()
-    run_once(put(audio_i16))
+    first_batch = put(audio_i16)
+    jax.block_until_ready(first_batch)
+    transfer_s = time.time() - t0
+
+    # Warmup / compile: trace + (persistent-cache) compile + first execution
+    t0 = time.time()
+    run_once(first_batch)
     compile_s = time.time() - t0
 
     # Timed runs with pipelined transfer: batch N+1's host->device copy runs
@@ -264,9 +274,11 @@ def main() -> None:
             "batch": batch,
             "wall_s_per_batch": round(wall, 3),
             "compile_s": round(compile_s, 1),
-            # param-init materialization (one jitted computation), drained
-            # before the compile clock so it can't masquerade as compile
+            # param-init materialization (one jitted computation) and the
+            # first 46 MB input copy, each drained before the compile clock
+            # so neither masquerades as compile
             "init_s": round(init_s, 1),
+            "first_transfer_s": round(transfer_s, 1),
             # total first-trace cost across every graph this bench builds
             # (batched generate + batch-1 latency + streaming prefill/step);
             # near-zero on a warm persistent cache (~10 s deserialize)

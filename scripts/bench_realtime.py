@@ -138,6 +138,16 @@ def run_soak_session(port: int, seconds: float, speech_s: float,
     chunk = int(CHUNK_S * 16000)
     events = []
     latencies, rss, cycle_walls = [], [], []
+    # TA_BENCH_RT_PROBE=1: attribute RSS growth every 20 cycles —
+    # tracemalloc (Python-heap allocations) vs jax.live_arrays bytes
+    # (device/host array handles) vs raw RSS (native/XLA/tunnel if the
+    # other two are flat).
+    probe = os.environ.get("TA_BENCH_RT_PROBE") == "1"
+    probes: list[tuple] = []
+    if probe:
+        import tracemalloc
+
+        tracemalloc.start()
 
     with connect(f"ws://127.0.0.1:{port}/?sample_rate=16000",
                  ping_interval=None) as ws:
@@ -191,6 +201,17 @@ def run_soak_session(port: int, seconds: float, speech_s: float,
             rss.append(_rss_mb())
             cycle_walls.append(time.time())
             cycle += 1
+            if probe and cycle % 20 == 0:
+                import tracemalloc
+
+                import jax as _jax
+
+                py_mb = tracemalloc.get_traced_memory()[0] / 1e6
+                dev = sum(
+                    a.size * a.dtype.itemsize for a in _jax.live_arrays()
+                ) / 1e6
+                probes.append((cycle, round(_rss_mb(), 1), round(py_mb, 1),
+                               round(dev, 1)))
         ws.send(json.dumps({"type": "Terminate"}))
         done.wait(timeout=60)
 
@@ -199,6 +220,8 @@ def run_soak_session(port: int, seconds: float, speech_s: float,
     out["cycles"] = cycle
     out["finals"] = sum(1 for _, m in events
                         if m["type"] == "Turn" and m["end_of_turn"])
+    if probe:
+        out["probes_cycle_rss_py_dev_mb"] = probes
 
 
 def main() -> None:

@@ -67,7 +67,12 @@ class ForcedAligner:
         cls._model = Wav2Vec2CTC()
         cls._jit_apply = None  # rebind the jitted closure to the new model
         waveform = jnp.zeros((1, FRAME_STRIDE * 4), jnp.float32)
-        template = cls._model.init(jax.random.PRNGKey(0), waveform)["params"]
+        # eval_shape: from_bytes only needs the tree STRUCTURE — a traced
+        # shape evaluation costs nothing, while a real init would dispatch
+        # ~95M params of random-init XLA programs at aligner boot
+        template = jax.eval_shape(
+            cls._model.init, jax.random.PRNGKey(0), waveform
+        )["params"]
         cls._params = serialization.from_bytes(
             template, Path(path).read_bytes()
         )

@@ -249,11 +249,11 @@ class EcapaEmbedder:
 
         path = path or cls._synth_weights_path()
         module = EcapaTDNN(channels=cls.SYNTH_CHANNELS)
-        template = module.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 75, 80), jnp.float32)
+        template = jax.eval_shape(
+            module.init, jax.random.PRNGKey(0), jnp.zeros((1, 75, 80), jnp.float32)
         )["params"]
         half = jax.tree_util.tree_map(
-            lambda x: _np.asarray(x, _np.float16), jax.device_get(template)
+            lambda s: _np.zeros(s.shape, _np.float16), template
         )
         loaded = serialization.from_bytes(half, Path(path).read_bytes())
         params = jax.tree_util.tree_map(

@@ -220,7 +220,8 @@ class NeuralVAD:
         from flax import serialization
 
         net = build_vadnet()
-        template = net.init(
+        template = __import__("jax").eval_shape(
+            net.init,
             __import__("jax").random.PRNGKey(0),
             jnp.zeros((1, 8, N_MELS), jnp.float32),
         )["params"]
