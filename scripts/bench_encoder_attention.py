@@ -29,11 +29,15 @@ Run on the real TPU:
 from __future__ import annotations
 
 import functools
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tiny_audio_tpu.models.layers import MASK_VALUE
 from tiny_audio_tpu.utils.profiling import block_until_ready_via_host

@@ -312,6 +312,9 @@ def main() -> None:
                 "rss_max_mb": round(float(np.max(rss)), 1) if rss else None,
                 "warmup_s": round(warmup_s, 1),
                 "backend": jax.default_backend(),
+                **({"probes_cycle_rss_py_dev_mb":
+                    out["probes_cycle_rss_py_dev_mb"]}
+                   if "probes_cycle_rss_py_dev_mb" in out else {}),
             },
         }), flush=True)
         os._exit(0)

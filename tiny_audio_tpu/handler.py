@@ -18,7 +18,8 @@ import numpy as np
 
 class EndpointHandler:
     def __init__(self, path: str = "", pipeline=None, tp: int = 1,
-                 dp: Optional[int] = None, wq_decode: bool = False):
+                 dp: Optional[int] = None, wq_decode: bool = False,
+                 w8a8_head: bool = False):
         """``tp``/``dp``: shard the towers over a (dp, tp) device mesh for
         multi-chip serving (GSPMD over ICI — parallel/mesh.py rules; the
         tp-sharded generate is token-exact vs single-device,
@@ -26,7 +27,11 @@ class EndpointHandler:
 
         ``wq_decode``: weight-only int8 decode (ASRModel.enable_wq_decode)
         — halves decode's per-step HBM weight traffic at a small
-        quantization quality trade; also enabled by ``TA_WQ_DECODE=1``."""
+        quantization quality trade; also enabled by ``TA_WQ_DECODE=1``.
+
+        ``w8a8_head``: int8 x int8 LM head for decode logits
+        (ASRModel.enable_w8a8_head) — measured 22% faster than the bf16
+        head dot (ops/wq_head.py); also enabled by ``TA_W8A8_HEAD=1``."""
         from tiny_audio_tpu.utils.compile_cache import (
             enable_persistent_compile_cache,
         )
@@ -50,6 +55,12 @@ class EndpointHandler:
                       "(wq weights are unsharded; mesh serving stays bf16)")
             else:
                 self.pipe.model.enable_wq_decode()
+        if w8a8_head or os.environ.get("TA_W8A8_HEAD") == "1":
+            if tp > 1 or (dp or 1) > 1:
+                print("[handler] --w8a8-head ignored under --tp/--dp "
+                      "(head_t_i8 is unsharded; mesh serving stays bf16)")
+            else:
+                self.pipe.model.enable_w8a8_head()
         self.mesh = None
         if tp > 1 or (dp or 1) > 1:
             import jax

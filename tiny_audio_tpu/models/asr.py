@@ -207,6 +207,27 @@ class ASRModel:
             quantize_decoder_wq(self.params["decoder"], self.decoder.cfg),
         )
 
+    def enable_w8a8_head(self) -> None:
+        """Opt-in W8A8 LM head for T==1 decode logits: native int8 x int8
+        MXU dot off the transposed int8 head (ops/wq_head.py) — measured
+        22% faster than the bf16 head dot at serving batch (0.730 vs
+        0.941 ms), where the weight-only wq head LOSES (1.281 ms).  A real
+        numerics trade (activation quantization too); never a default
+        until the networked parity run pins the WER delta (PARITY.md).
+        Composes with enable_wq_decode (the W8A8 head then takes
+        precedence for logits; layer matmuls stay on whichever path that
+        mode selected)."""
+        from tiny_audio_tpu.ops.wq_head import quantize_head_w8a8
+
+        dcfg, dparams = self.decoder.cfg, self.params["decoder"]
+        head = (dparams["embed_tokens"]["embedding"].T
+                if dcfg.tie_word_embeddings else dparams["lm_head"]["kernel"])
+        wt_i8, scale = quantize_head_w8a8(head)
+        wq = dict(self.wq) if self.wq is not None else {}
+        wq["head_t_i8"] = jnp.asarray(wt_i8)
+        wq["head_w8a8_scale"] = jnp.asarray(scale)
+        self.wq = wq
+
     def decoder_variables(self, params: Optional[dict] = None) -> dict:
         """Decoder ``apply`` variables: params + the wq collection when
         weight-quantized decode is enabled."""

@@ -282,6 +282,19 @@ class Qwen3Decoder(nn.Module):
             x = x[:, -1:]
         if return_hidden:
             logits = None
+        elif x.shape[1] == 1 and self.has_variable("wq", "head_t_i8"):
+            # W8A8 head: native int8 x int8 MXU dot off the transposed
+            # int8 head — the only int8 head variant measured FASTER than
+            # the bf16 dot on this chip (0.730 vs 0.941 ms at B=48;
+            # ops/wq_head.py).  Takes precedence over the weight-only
+            # head_i8 path when both collections are present.
+            from tiny_audio_tpu.ops.wq_head import w8a8_matmul_auto
+
+            logits = w8a8_matmul_auto(
+                x[:, 0].astype(jnp.bfloat16),
+                self.get_variable("wq", "head_t_i8"),
+                self.get_variable("wq", "head_w8a8_scale"),
+            )[:, None, :cfg.vocab_size]
         elif x.shape[1] == 1 and self.has_variable("wq", "head_i8"):
             # wq decode: the LM head is the single largest weight read per
             # step (~311 MB bf16 at the 151k vocab); single-position logits

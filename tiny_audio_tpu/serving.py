@@ -239,7 +239,7 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
           engine: str = "dynamic", tp: int = 1,
           dp: Optional[int] = None,
           realtime_port: Optional[int] = None,
-          wq_decode: bool = False) -> None:
+          wq_decode: bool = False, w8a8_head: bool = False) -> None:
     """``engine``: short-clip batching strategy.
 
     - ``"dynamic"`` — :class:`~tiny_audio_tpu.batching.DynamicBatcher`:
@@ -264,9 +264,14 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
 
     if not dynamic_batching:  # legacy flag: --no-batching
         engine = "none"
-    handler = EndpointHandler(model_path, tp=tp, dp=dp, wq_decode=wq_decode)
+    handler = EndpointHandler(model_path, tp=tp, dp=dp, wq_decode=wq_decode,
+                              w8a8_head=w8a8_head)
     if handler.pipe.model.wq is not None:
-        print("[serve] weight-only int8 decode enabled (wq)")
+        modes = [m for m, on in (
+            ("wq layer matmuls", "layers" in handler.pipe.model.wq),
+            ("w8a8 head", "head_t_i8" in handler.pipe.model.wq),
+        ) if on]
+        print(f"[serve] int8 decode enabled: {', '.join(modes)}")
     if handler.mesh is not None:
         print(f"[serve] towers sharded over mesh {dict(zip(handler.mesh.axis_names, handler.mesh.devices.shape))}")
     batcher = None
