@@ -210,8 +210,22 @@ def run_soak_session(port: int, seconds: float, speech_s: float,
                 dev = sum(
                     a.size * a.dtype.itemsize for a in _jax.live_arrays()
                 ) / 1e6
-                probes.append((cycle, round(_rss_mb(), 1), round(py_mb, 1),
-                               round(dev, 1)))
+                rss_before = _rss_mb()
+                # malloc_trim differential: the first probed soak showed the
+                # growth is NATIVE (python heap + device arrays both flat).
+                # If trim reclaims it, it's freed-but-unreturned glibc heap
+                # (arena fragmentation from per-chunk churn) — a reporting
+                # artifact, not held memory.
+                trimmed = None
+                try:
+                    import ctypes
+
+                    ctypes.CDLL("libc.so.6").malloc_trim(0)
+                    trimmed = round(_rss_mb(), 1)
+                except OSError:
+                    pass
+                probes.append((cycle, round(rss_before, 1), round(py_mb, 1),
+                               round(dev, 1), trimmed))
         ws.send(json.dumps({"type": "Terminate"}))
         done.wait(timeout=60)
 
@@ -221,7 +235,7 @@ def run_soak_session(port: int, seconds: float, speech_s: float,
     out["finals"] = sum(1 for _, m in events
                         if m["type"] == "Turn" and m["end_of_turn"])
     if probe:
-        out["probes_cycle_rss_py_dev_mb"] = probes
+        out["probes_cycle_rss_py_dev_trim_mb"] = probes
 
 
 def main() -> None:
@@ -312,9 +326,9 @@ def main() -> None:
                 "rss_max_mb": round(float(np.max(rss)), 1) if rss else None,
                 "warmup_s": round(warmup_s, 1),
                 "backend": jax.default_backend(),
-                **({"probes_cycle_rss_py_dev_mb":
-                    out["probes_cycle_rss_py_dev_mb"]}
-                   if "probes_cycle_rss_py_dev_mb" in out else {}),
+                **({"probes_cycle_rss_py_dev_trim_mb":
+                    out["probes_cycle_rss_py_dev_trim_mb"]}
+                   if "probes_cycle_rss_py_dev_trim_mb" in out else {}),
             },
         }), flush=True)
         os._exit(0)
