@@ -642,6 +642,17 @@ class TestBatchedTurnDecodes:
             finals = [m for m in msgs
                       if m["type"] == "Turn" and m["end_of_turn"]]
             assert len(finals) == 1
+            # async partials must never arrive AFTER their turn's final
+            # (sess["gen"] stale-drop): within each turn_order, the final
+            # is the last Turn message
+            turns = [m for m in msgs if m["type"] == "Turn"]
+            for i, m in enumerate(turns):
+                if not m["end_of_turn"]:
+                    assert any(
+                        f["end_of_turn"]
+                        and f["turn_order"] == m["turn_order"]
+                        for f in turns[i + 1:]
+                    ), "partial delivered after its turn's final"
 
     def test_lock_defaults_to_batcher_lock(self, batched_server):
         server, batcher = batched_server
@@ -675,6 +686,96 @@ class TestBatchedTurnDecodes:
         finally:
             server.shutdown()
             eng.close()
+
+
+class TestAsyncPartials:
+    """Batcher-mode partials must not block the receive loop: they submit
+    asynchronously (one in flight per session) and are dropped when their
+    turn closed before the batch resolved — the fix for the measured
+    13.1 s endpoint latency under a 16-session burst
+    (docs/performance.md)."""
+
+    @staticmethod
+    def _server_with_fake_batcher():
+        from concurrent.futures import Future
+        from unittest.mock import MagicMock
+
+        class FakeBatcher:
+            lock = threading.Lock()
+
+            def __init__(self):
+                self.futs = []
+
+            def submit(self, audio, user_prompt=None):
+                fut = Future()
+                self.futs.append(fut)
+                return fut
+
+            def pending(self):
+                return 0
+
+        batcher = FakeBatcher()
+        server = RealtimeServer(
+            MagicMock(), host="127.0.0.1", port=0, vad_fn=amp_vad,
+            batcher=batcher,
+        )  # never start()ed: _submit_partial_async is exercised directly
+
+        class FakeWS:
+            def __init__(self):
+                self.sent = []
+
+            def send(self, msg):
+                self.sent.append(json.loads(msg))
+
+        return server, batcher, FakeWS()
+
+    def test_submit_returns_without_blocking_and_delivers(self):
+        server, batcher, ws = self._server_with_fake_batcher()
+        sess = {"inflight": False, "gen": 0}
+        assert server._submit_partial_async(ws, silence(0.5), 3, sess)
+        assert sess["inflight"] and not ws.sent  # returned, nothing sent yet
+        # throttle: a second submit while one is in flight is refused
+        assert not server._submit_partial_async(ws, silence(0.5), 3, sess)
+        batcher.futs[0].set_result(["hello there"][0])
+        assert not sess["inflight"]
+        assert ws.sent == [{
+            "type": "Turn", "turn_order": 3, "transcript": "hello there",
+            "end_of_turn": False, "turn_is_formatted": False,
+        }]
+
+    def test_stale_partial_dropped_after_turn_close(self):
+        server, batcher, ws = self._server_with_fake_batcher()
+        sess = {"inflight": False, "gen": 0}
+        assert server._submit_partial_async(ws, silence(0.5), 0, sess)
+        sess["gen"] += 1  # what _dispatch does when the turn's final fires
+        batcher.futs[0].set_result("stale partial")
+        assert ws.sent == []          # dropped, never sent after the final
+        assert not sess["inflight"]   # slot freed for the next turn
+
+    def test_failed_results_silent_empty_still_ship(self):
+        server, batcher, ws = self._server_with_fake_batcher()
+        sess = {"inflight": False, "gen": 0}
+        assert server._submit_partial_async(ws, silence(0.5), 0, sess)
+        batcher.futs[0].set_exception(RuntimeError("batch died"))
+        assert ws.sent == [] and not sess["inflight"]
+        assert server._submit_partial_async(ws, silence(0.5), 0, sess)
+        # empty transcripts still ship (solo-path parity: early-turn
+        # partials are often empty and clients key TTFB off them)
+        batcher.futs[1].set_result("")
+        assert len(ws.sent) == 1 and ws.sent[0]["transcript"] == ""
+        assert not sess["inflight"]
+
+    def test_dispatch_bumps_generation_on_final(self):
+        from unittest.mock import MagicMock
+
+        server, batcher, ws = self._server_with_fake_batcher()
+        server._transcribe = MagicMock(return_value="final text")
+        sess = {"inflight": False, "gen": 0}
+        turn = server._dispatch(
+            ws, [("final", tone(0.5), 0)], 0, sess=sess
+        )
+        assert turn == 1 and sess["gen"] == 1
+        assert ws.sent and ws.sent[-1]["end_of_turn"]
 
 
 class TestAdversarialClients:

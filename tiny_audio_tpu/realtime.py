@@ -301,11 +301,19 @@ class RealtimeServer:
     generate instead of serializing: lock-serialized batch-1 decodes cap
     turn throughput near 3/s, while a 16-row batch decodes in ~0.6 s —
     the difference between a demo server and production session counts.
-    Finals always submit; partials submit only when the queue is idle
-    (the equivalent of the lock-free probe in solo mode).
+    Finals always submit (blocking: the turn is closed and ordering with
+    its own partials matters); partials submit ASYNCHRONOUSLY — at most
+    one in flight per session, delivered from the batcher thread when
+    the batch round resolves, dropped if their turn closed meanwhile.
+    Blocking the receive loop on partial futures instead was measured at
+    13.1 s p50 endpoint latency under a 16-session burst (sessions fell
+    behind real time, so endpointing itself happened late); the async
+    path keeps chunk processing real-time and coalesces all sessions'
+    partials into one batched decode (docs/performance.md burst table).
 
-    Partials are best-effort: emitted at most every ``partial_every_s`` and
-    only when the TPU is free, so a busy chip degrades to final-only
+    Partials are best-effort: emitted at most every ``partial_every_s``
+    and only when no earlier partial is still in flight (solo mode: only
+    when the chip lock is free), so a busy chip degrades to final-only
     turns instead of queueing stale partial work.
     """
 
@@ -427,6 +435,10 @@ class RealtimeServer:
         t0 = time.time()
         last_partial = 0.0
         terminated = False
+        # Per-session async-partial state: "inflight" throttles to one
+        # pending partial; "gen" bumps when a turn closes so a partial
+        # resolving after its turn's final is dropped, not sent stale.
+        sess = {"inflight": False, "gen": 0}
 
         try:
             for msg in ws:
@@ -435,21 +447,31 @@ class RealtimeServer:
                     total_samples += audio.size
                     turn_order = self._dispatch(
                         ws, ep.feed(audio), turn_order, tracker, timestamps,
-                        confidence,
+                        confidence, sess,
                     )
                     if (
                         ep.turn_open
                         and time.time() - last_partial >= self.partial_every_s
                         and ep.turn_audio.size >= SAMPLE_RATE // 4
                     ):
-                        text = self._transcribe(ep.turn_audio, blocking=False)
-                        if text is not None:
-                            last_partial = time.time()
-                            ws.send(json.dumps({
-                                "type": "Turn", "turn_order": turn_order,
-                                "transcript": text, "end_of_turn": False,
-                                "turn_is_formatted": False,
-                            }))
+                        if self.batcher is not None:
+                            if self._submit_partial_async(
+                                ws, ep.turn_audio, turn_order, sess
+                            ):
+                                last_partial = time.time()
+                        else:
+                            text = self._transcribe(
+                                ep.turn_audio, blocking=False
+                            )
+                            if text is not None:
+                                last_partial = time.time()
+                                ws.send(json.dumps({
+                                    "type": "Turn",
+                                    "turn_order": turn_order,
+                                    "transcript": text,
+                                    "end_of_turn": False,
+                                    "turn_is_formatted": False,
+                                }))
                     continue
                 try:
                     cmd = json.loads(msg)
@@ -460,12 +482,12 @@ class RealtimeServer:
                 if cmd.get("type") == "ForceEndpoint":
                     turn_order = self._dispatch(
                         ws, ep.force_endpoint(), turn_order, tracker,
-                        timestamps, confidence,
+                        timestamps, confidence, sess,
                     )
                 elif cmd.get("type") == "Terminate":
                     turn_order = self._dispatch(
                         ws, ep.flush(), turn_order, tracker, timestamps,
-                        confidence,
+                        confidence, sess,
                     )
                     ws.send(json.dumps({
                         "type": "Termination",
@@ -484,10 +506,16 @@ class RealtimeServer:
     def _dispatch(self, ws, events: list[tuple], turn_order: int,
                   tracker: Optional[OnlineSpeakerTracker] = None,
                   timestamps: bool = False,
-                  confidence: bool = False) -> int:
+                  confidence: bool = False,
+                  sess: Optional[dict] = None) -> int:
         for ev in events:
             if ev[0] != "final":
                 continue
+            if sess is not None:
+                # Invalidate any in-flight async partial for this turn
+                # BEFORE the final decodes: a partial resolving during
+                # (or after) the final must be dropped, not sent stale.
+                sess["gen"] += 1
             audio = ev[1]
             turn_start = ev[2] if len(ev) > 2 else 0
             # sub-150 ms turns are VAD flicker; report them empty rather
@@ -593,6 +621,58 @@ class RealtimeServer:
             return "" if blocking else None
         except Exception:  # keep the session alive on a bad clip
             return "" if blocking else None
+
+    def _submit_partial_async(self, ws, audio: np.ndarray,
+                              turn_order: int, sess: dict) -> bool:
+        """Batcher-mode partial WITHOUT blocking the receive loop.
+
+        Blocking the session thread on ``fut.result()`` for the full
+        batch round (~1-2 s) made chunk processing fall behind real time
+        under concurrent sessions, so endpointing itself happened late —
+        measured 13.1 s p50 endpoint latency at a 16-session burst.
+        Instead: submit, return immediately, deliver from the batcher
+        thread.  One in-flight partial per session bounds queue growth
+        at #sessions; all sessions' partials coalesce into ONE batched
+        decode; a partial whose turn closed meanwhile (``sess["gen"]``
+        bumped by ``_dispatch``) is dropped, never sent after its final.
+        ``websockets.sync`` connections serialize sends internally, so
+        delivery from the batcher thread is safe.
+
+        Returns True when a partial was submitted (rate-limit clock
+        advances), False when throttled or rejected.
+        """
+        if sess["inflight"]:
+            return False
+        from tiny_audio_tpu.batching import BacklogFull
+
+        try:
+            fut = self.batcher.submit(np.asarray(audio, np.float32))
+        except (BacklogFull, RuntimeError):
+            return False
+        sess["inflight"] = True
+        gen = sess["gen"]
+
+        def deliver(f) -> None:
+            sess["inflight"] = False
+            try:
+                text = f.result()
+            except Exception:
+                return  # batch failed/drained: partials are best-effort
+            if sess["gen"] != gen:
+                return  # turn already closed: stale
+            # empty transcripts still ship (solo-path parity: early-turn
+            # partials are often empty and clients key TTFB off them)
+            try:
+                ws.send(json.dumps({
+                    "type": "Turn", "turn_order": turn_order,
+                    "transcript": text, "end_of_turn": False,
+                    "turn_is_formatted": False,
+                }))
+            except Exception:
+                pass  # connection gone; the session thread tears down
+
+        fut.add_done_callback(deliver)
+        return True
 
     @staticmethod
     def _decode_pcm(raw: bytes, sample_rate: int) -> np.ndarray:
