@@ -144,6 +144,10 @@ def main() -> None:
         # weight-only int8 decode (ops/wq_matmul.py): measures the
         # quantized serving mode end-to-end; primary metric stays bf16
         model.enable_wq_decode()
+    if os.environ.get("TA_W8A8_DECODE") == "1":
+        # W8A8 decode (layers + head, ops/wq_head.py): the int8 mode
+        # measured FASTER than bf16 on this chip; primary metric stays bf16
+        model.enable_w8a8_decode()
     batch = int(os.environ.get("TA_BENCH_BATCH", "48"))
     clip_seconds = 30.0
     n_samples = int(clip_seconds * 16000)

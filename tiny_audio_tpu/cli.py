@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="int8 x int8 LM head for decode logits: measured "
                           "22%% faster than the bf16 head dot "
                           "(W8A8 numerics trade; ops/wq_head.py)")
+    srv.add_argument("--w8a8-decode", action="store_true",
+                     help="W8A8 for ALL decode-step matmuls, layers + head "
+                          "(supersedes --wq-decode/--w8a8-head): measured "
+                          "20-22%% faster than the bf16 matvecs "
+                          "(scripts/bench_w8a8_decode.py)")
     srv.set_defaults(func=_cmd_serve)
 
     rt = sub.add_parser(
@@ -171,7 +176,7 @@ def _cmd_serve(args) -> int:
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
           engine=args.engine, tp=args.tp, dp=args.dp,
           realtime_port=args.realtime_port, wq_decode=args.wq_decode,
-          w8a8_head=args.w8a8_head)
+          w8a8_head=args.w8a8_head, w8a8_decode=args.w8a8_decode)
     return 0
 
 

@@ -19,7 +19,7 @@ import numpy as np
 class EndpointHandler:
     def __init__(self, path: str = "", pipeline=None, tp: int = 1,
                  dp: Optional[int] = None, wq_decode: bool = False,
-                 w8a8_head: bool = False):
+                 w8a8_head: bool = False, w8a8_decode: bool = False):
         """``tp``/``dp``: shard the towers over a (dp, tp) device mesh for
         multi-chip serving (GSPMD over ICI — parallel/mesh.py rules; the
         tp-sharded generate is token-exact vs single-device,
@@ -31,7 +31,12 @@ class EndpointHandler:
 
         ``w8a8_head``: int8 x int8 LM head for decode logits
         (ASRModel.enable_w8a8_head) — measured 22% faster than the bf16
-        head dot (ops/wq_head.py); also enabled by ``TA_W8A8_HEAD=1``."""
+        head dot (ops/wq_head.py); also enabled by ``TA_W8A8_HEAD=1``.
+
+        ``w8a8_decode``: W8A8 for ALL T==1 matmuls — layer projections
+        AND the head (ASRModel.enable_w8a8_decode; supersedes the two
+        flags above) — measured 20%/22% faster than the bf16 matvecs
+        (scripts/bench_w8a8_decode.py); also ``TA_W8A8_DECODE=1``."""
         from tiny_audio_tpu.utils.compile_cache import (
             enable_persistent_compile_cache,
         )
@@ -61,6 +66,13 @@ class EndpointHandler:
                       "(head_t_i8 is unsharded; mesh serving stays bf16)")
             else:
                 self.pipe.model.enable_w8a8_head()
+        if w8a8_decode or os.environ.get("TA_W8A8_DECODE") == "1":
+            if tp > 1 or (dp or 1) > 1:
+                print("[handler] --w8a8-decode ignored under --tp/--dp "
+                      "(the wq collection is unsharded; mesh serving "
+                      "stays bf16)")
+            else:
+                self.pipe.model.enable_w8a8_decode()
         self.mesh = None
         if tp > 1 or (dp or 1) > 1:
             import jax

@@ -228,6 +228,27 @@ class ASRModel:
         wq["head_w8a8_scale"] = jnp.asarray(scale)
         self.wq = wq
 
+    def enable_w8a8_decode(self) -> None:
+        """Opt-in W8A8 decode for ALL T==1 matmuls — layer projections AND
+        the LM head: per-output-channel int8 weights stored transposed
+        [N, K], per-row dynamic int8 activations, native int8 x int8 MXU
+        dots (no dequant convert on the critical path — the defect that
+        sank weight-only wq decode).  Measured on this chip: layer-matmul
+        stage 2.162 vs 2.707 ms/step (scripts/bench_w8a8_decode.py), head
+        0.730 vs 0.941 ms (scripts/bench_wq_head.py).  Prefill, training
+        and beams keep the untouched bf16 params.
+
+        Supersedes enable_wq_decode + enable_w8a8_head separately (it
+        quantizes both layers and head in W8A8 form); a real numerics
+        trade (activation quantization), so never a silent default —
+        WER-neutrality needs the networked parity run (PARITY.md)."""
+        from tiny_audio_tpu.models.decoder import quantize_decoder_w8a8
+
+        self.wq = jax.tree.map(
+            jnp.asarray,
+            quantize_decoder_w8a8(self.params["decoder"], self.decoder.cfg),
+        )
+
     def decoder_variables(self, params: Optional[dict] = None) -> dict:
         """Decoder ``apply`` variables: params + the wq collection when
         weight-quantized decode is enabled."""

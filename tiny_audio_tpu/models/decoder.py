@@ -81,12 +81,24 @@ class Qwen3Block(nn.Module):
             unchanged whether LoRA is on or off.
 
             Decode steps (T==1) with a ``wq`` variables collection read
-            int8 weights through the in-VMEM-dequant Pallas kernel instead
-            (ops/wq_matmul.py): decode is weight-read-bound, so halving
-            the weight bytes halves its HBM floor.  Prefill and training
+            int8 weights instead: W8A8 (``{name}_t_i8``, int8 x int8
+            through XLA's native dot off a [N, K]-transposed weight —
+            measured 20% faster than the bf16 matvec at these shapes,
+            scripts/bench_w8a8_decode.py) takes precedence over
+            weight-only (``{name}_i8``, the in-VMEM-dequant Pallas
+            kernel, ops/wq_matmul.py — measured SLOWER than bf16 on this
+            chip, kept opt-in for the record).  Prefill and training
             always use the bf16 kernels — they are compute-bound and the
             quantization would only cost accuracy there."""
-            if t == 1 and self.has_variable("wq", f"{name}_i8"):
+            if t == 1 and self.has_variable("wq", f"{name}_t_i8"):
+                from tiny_audio_tpu.ops.wq_head import w8a8_matmul_xla
+
+                y = w8a8_matmul_xla(
+                    h[:, 0].astype(jnp.bfloat16),
+                    self.get_variable("wq", f"{name}_t_i8"),
+                    self.get_variable("wq", f"{name}_t_scale"),
+                )[:, None].astype(self.dtype)
+            elif t == 1 and self.has_variable("wq", f"{name}_i8"):
                 from tiny_audio_tpu.ops.wq_matmul import wq_matmul_auto
 
                 y = wq_matmul_auto(
@@ -403,6 +415,40 @@ def quantize_decoder_wq(params: dict, cfg: DecoderConfig) -> dict:
         head_scale = jnp.pad(head_scale, (0, v_pad - v))
     return {"layers": wq_layers,
             "head_i8": head_i8, "head_scale": head_scale}
+
+
+def quantize_decoder_w8a8(params: dict, cfg: DecoderConfig) -> dict:
+    """Build the W8A8 ``wq`` variables collection: per-layer stacked
+    TRANSPOSED int8 kernels (``{name}_t_i8`` [L, N, K]) + per-output-channel
+    scales for every block projection, plus the W8A8 head.
+
+    T==1 decode then runs native int8 x int8 MXU dots (Qwen3Block.dense /
+    the head dispatch in ``Qwen3Decoder.__call__``); prefill, training and
+    beams keep the untouched bf16 params.  Measured on this chip
+    (scripts/bench_w8a8_decode.py / bench_wq_head.py): layer matmuls
+    2.162 vs 2.707 ms/step, head 0.730 vs 0.941 ms — the weight bytes
+    halve and, unlike weight-only int8, no dequant convert sits on the
+    critical path.  Numerics: activations quantize per-row to int8 too —
+    a real quality trade, so this is serving opt-in, never a default.
+    """
+    from tiny_audio_tpu.ops.wq_head import (
+        quantize_head_w8a8,
+        quantize_weight_w8a8,
+    )
+
+    layers = params["layers"]
+    wq_layers = {}
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj",
+                 "gate_proj", "up_proj", "down_proj"):
+        kern = layers[name]["kernel"]  # [L, K, N]
+        t_i8, scale = jax.vmap(quantize_weight_w8a8)(kern)
+        wq_layers[f"{name}_t_i8"] = t_i8
+        wq_layers[f"{name}_t_scale"] = scale
+    head = (params["embed_tokens"]["embedding"].T
+            if cfg.tie_word_embeddings else params["lm_head"]["kernel"])
+    head_t_i8, head_scale = quantize_head_w8a8(head)
+    return {"layers": wq_layers,
+            "head_t_i8": head_t_i8, "head_w8a8_scale": head_scale}
 
 
 # ---------------------------------------------------------------------------

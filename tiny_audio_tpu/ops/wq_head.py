@@ -70,6 +70,25 @@ def quantize_head_w8a8(head) -> tuple[jax.Array, jax.Array]:
     return wt_i8, scale.astype(jnp.float32)
 
 
+def quantize_weight_w8a8(w) -> tuple[jax.Array, jax.Array]:
+    """Quantize a layer projection ``[K, N]`` for the W8A8 XLA path:
+    per-output-channel symmetric int8, stored TRANSPOSED ``[N, K]``.
+
+    Unlike :func:`quantize_head_w8a8` there is no tile padding — layer
+    projection widths (1024/2048/3072) are already lane-aligned, and the
+    consumer is XLA's own int8 ``dot_general`` (measured FASTER than the
+    Pallas grid at these small-N shapes: scripts/bench_w8a8_decode.py),
+    not the tiled head kernel.
+    """
+    w = jnp.asarray(w)
+    scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    w_i8 = jnp.clip(
+        jnp.round(w.astype(jnp.float32) / scale[None, :]), -127, 127
+    ).astype(jnp.int8)
+    return w_i8.T, scale.astype(jnp.float32)
+
+
 def quantize_act(x) -> tuple[jax.Array, jax.Array]:
     """Per-row symmetric int8: ``x [B, K] -> (x_i8 [B, K], sx [B, 1] f32)``."""
     ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)

@@ -239,7 +239,8 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
           engine: str = "dynamic", tp: int = 1,
           dp: Optional[int] = None,
           realtime_port: Optional[int] = None,
-          wq_decode: bool = False, w8a8_head: bool = False) -> None:
+          wq_decode: bool = False, w8a8_head: bool = False,
+          w8a8_decode: bool = False) -> None:
     """``engine``: short-clip batching strategy.
 
     - ``"dynamic"`` — :class:`~tiny_audio_tpu.batching.DynamicBatcher`:
@@ -265,11 +266,16 @@ def serve(model_path: str, host: str = "0.0.0.0", port: int = 8000,
     if not dynamic_batching:  # legacy flag: --no-batching
         engine = "none"
     handler = EndpointHandler(model_path, tp=tp, dp=dp, wq_decode=wq_decode,
-                              w8a8_head=w8a8_head)
+                              w8a8_head=w8a8_head, w8a8_decode=w8a8_decode)
     if handler.pipe.model.wq is not None:
+        wq_vars = handler.pipe.model.wq
+        w8a8_layers = any(k.endswith("_t_i8") for k in
+                          wq_vars.get("layers", {}))
         modes = [m for m, on in (
-            ("wq layer matmuls", "layers" in handler.pipe.model.wq),
-            ("w8a8 head", "head_t_i8" in handler.pipe.model.wq),
+            ("w8a8 layer matmuls", w8a8_layers),
+            ("wq layer matmuls",
+             "layers" in wq_vars and not w8a8_layers),
+            ("w8a8 head", "head_t_i8" in wq_vars),
         ) if on]
         print(f"[serve] int8 decode enabled: {', '.join(modes)}")
     if handler.mesh is not None:
